@@ -1,0 +1,317 @@
+"""Consensus generation per tandem-repeat region.
+
+Oracle of the reference consensus stage (reference src/gen_cons.c:173-301 and
+src/abpoa_cons.c:30-120): for each maximal run of >= min_copy+1 non-negative
+partition positions, build the unit MSA consensus, compute the average unit
+identity (aveMatch) with global alignment against the consensus, extend the
+TR boundary with extension alignment of the consensus against the flanking
+read (fractional copy numbers), and resolve full-length orientation with
+adapter searches on the doubled consensus (rotation-invariance trick,
+gen_cons.c:227-233). Also implements the single-copy full-length path
+(gen_cons.c:89-171).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..io.codec import decode
+from ..io.output import ConsRecord, TandemResult
+from ..params import FASTQ_FMT, TAB_QUAL_FMT, Params
+from ..ops import ksw2
+from ..ops.myers import align_hw
+from ..ops.poa import msa_consensus, sigmoid_phred_qual
+
+
+def _poa_consensus(
+    bseq: np.ndarray,
+    seq_len: int,
+    pos: List[int],
+    mtp: Params,
+    want_qual: bool,
+):
+    """abpoa_gen_cons equivalent (reference src/abpoa_cons.c:30-120).
+
+    Returns (cons_bseq, cons_qual_or_None, n_seqs); cons length 0 = rejected.
+    """
+    units = []
+    for i in range(len(pos) - 1):
+        start, end = pos[i], pos[i + 1]
+        if start < 0 or end < 0 or start >= seq_len - 1 or end + 1 > seq_len:
+            continue
+        units.append(bseq[start + 1 : end + 1])
+    n_seqs = len(units)
+
+    min_cov = 0
+    if mtp.min_frac > 0.0:
+        min_cov = int(n_seqs * mtp.min_frac)
+    elif mtp.min_cov > 0:
+        min_cov = mtp.min_cov
+
+    if n_seqs <= 2:
+        if n_seqs <= 1:
+            raise RuntimeError("Not enough sequences to perform msa.")
+        # fast path (abpoa_cons.c:60-83): first unit verbatim, qual '!'
+        cons = units[0]
+        if min_cov > 0:
+            if len(units[0]) != len(units[1]) or not np.array_equal(
+                units[0], units[1]
+            ):
+                cov_ok = 1
+            else:
+                cov_ok = 2
+            if cov_ok < min_cov:
+                return np.zeros(0, dtype=np.uint8), None, n_seqs
+        qual = np.full(len(cons), 33, dtype=np.uint8) if want_qual else None
+        return cons.copy(), qual, n_seqs
+
+    cons, cov = msa_consensus(
+        units,
+        mtp.match,
+        mtp.mismatch,
+        mtp.gap_open1,
+        mtp.gap_ext1,
+        mtp.gap_open2,
+        mtp.gap_ext2,
+    )
+    if min_cov > 0 and (cov < min_cov).any():
+        return np.zeros(0, dtype=np.uint8), None, n_seqs
+    qual = sigmoid_phred_qual(cov, n_seqs) if want_qual else None
+    return cons, qual, n_seqs
+
+
+def seqs_msa(
+    seq_len: int,
+    bseq: np.ndarray,
+    par_pos: List[int],
+    result: TandemResult,
+    mtp: Params,
+) -> None:
+    """Per-chain consensus over runs of partition positions
+    (reference src/gen_cons.c:173-301)."""
+    par_n = len(par_pos)
+    want_qual = mtp.out_fmt in (FASTQ_FMT, TAB_QUAL_FMT)
+    i = 0
+    while i < par_n - mtp.min_copy:
+        if par_pos[i] < 0:
+            i += 1
+            continue
+        j = i + 1
+        while j < par_n and par_pos[j] >= 0:
+            j += 1
+        if j - i > mtp.min_copy:
+            if mtp.only_unit:
+                result.add_unit(par_pos[i:j])
+            else:
+                cons, qual, n_seqs = _poa_consensus(
+                    bseq, seq_len, par_pos[i:j], mtp, want_qual
+                )
+                cons_len = len(cons)
+                if cons_len == 0:
+                    # reference `continue` re-tests the same i and loops the
+                    # same run forever only if par_pos[i] >= 0 stays; it
+                    # actually falls through because `continue` skips the
+                    # i=j+1 update — but then re-enters with identical state
+                    # and 0 again; the C code relies on cons_len==0 being
+                    # rare and loops... we advance to avoid the hang.
+                    i = j + 1
+                    continue
+                # aveMatch: global identity of each unit vs consensus
+                ave_match = 0.0
+                for ki in range(i, j - 1):
+                    start, end = par_pos[ki], par_pos[ki + 1]
+                    length = end - start
+                    iden_n = ksw2.global_identity(
+                        bseq[start + 1 : end + 1], cons
+                    )
+                    ave_match += iden_n * 100 / float(length)
+                # boundary extension (gen_cons.c:217-223)
+                copy_num = float(n_seqs)
+                max_q, max_t = ksw2.left_ext(cons, bseq[: par_pos[i] + 1])
+                cons_start = par_pos[i] - max_t
+                copy_num += (max_q + 1.0) / cons_len
+                max_q, max_t = ksw2.right_ext(cons, bseq[par_pos[j - 1] + 1 :])
+                cons_end = par_pos[j - 1] + max_t + 1
+                copy_num += (max_q + 1.0) / cons_len
+
+                cons_seq = decode(cons)
+                cons_qual = qual
+
+                # full-length on the doubled consensus (gen_cons.c:226-291)
+                full_length = 0
+                if (
+                    mtp.five_seq is not None
+                    and mtp.three_seq is not None
+                    and cons_len > mtp.five_len + mtp.three_len
+                ):
+                    cons_seq, cons_qual, full_length = _full_length_trim(
+                        cons_seq, cons_qual, mtp
+                    )
+                    cons_len = len(cons_seq)
+
+                if not mtp.only_full_length or full_length > 0:
+                    rec = ConsRecord(
+                        seq=cons_seq,
+                        qual=bytes(cons_qual.tolist()).decode("latin1")
+                        if cons_qual is not None
+                        else None,
+                        start=cons_start,
+                        end=cons_end,
+                        copy_num=copy_num,
+                        ave_match=ave_match / (j - i - 1),
+                        full_length=full_length,
+                        sub_pos=par_pos[i:j],
+                    )
+                    result.add_cons(rec, mtp)
+        i = j + 1
+
+
+def _full_length_trim(cons_seq: str, cons_qual, mtp: Params):
+    """Adapter search on 2x-concatenated consensus (gen_cons.c:227-291).
+
+    Returns (seq, qual, full_length in {0,1,2})."""
+    cons_len = len(cons_seq)
+    cons2 = cons_seq + cons_seq
+    qual2 = (
+        np.concatenate([cons_qual, cons_qual]) if cons_qual is not None else None
+    )
+    INT32_MAX = 2**31 - 1
+    tar_start = tar_end = -1
+    full_length = 0
+    tot_ed = INT32_MAX
+
+    k5 = int(mtp.five_len * (1 - mtp.ada_match_rat))
+    k3 = int(mtp.three_len * (1 - mtp.ada_match_rat))
+
+    def forward():
+        nonlocal tar_start, tar_end, full_length, tot_ed
+        _5_ed, _5_start, _5_end = align_hw(mtp.five_seq, cons2, k5)
+        if _5_ed == -1:
+            return False
+        _3_ed, _3_start, _3_end = align_hw(mtp.three_rc_seq, cons2, k3)
+        if _3_ed == -1:
+            return False
+        if _3_start <= _5_end:
+            if _3_end + cons_len < cons_len * 2 and _3_start + cons_len > _5_end:
+                tar_start = _5_end + 1
+                tar_end = _3_start + cons_len - 1
+                full_length = 1
+                tot_ed = _5_ed + _3_ed
+        else:
+            tar_start = _5_end + 1
+            tar_end = _3_start - 1
+            tot_ed = _5_ed + _3_ed
+            full_length = 1
+        return tot_ed == 0
+
+    def reverse():
+        nonlocal tar_start, tar_end, full_length
+        _5_ed, _5_start, _5_end = align_hw(mtp.five_rc_seq, cons2, k5)
+        if _5_ed == -1:
+            return
+        _3_ed, _3_start, _3_end = align_hw(mtp.three_seq, cons2, k3)
+        if _3_ed == -1:
+            return
+        if _5_ed + _3_ed < tot_ed:
+            if _5_start <= _3_end:
+                if (
+                    _5_end + cons_len < cons_len * 2
+                    and _5_start + cons_len > _3_end
+                ):
+                    tar_start = _3_end + 1
+                    tar_end = _5_start + cons_len - 1
+                    full_length = 2
+            else:
+                tar_start = _3_end + 1
+                tar_end = _5_start - 1
+                full_length = 2
+
+    if not forward():
+        reverse()
+
+    if tar_start > 0 and tar_end > tar_start:
+        seq = cons2[tar_start : tar_end + 1]
+        qual = qual2[tar_start : tar_end + 1] if qual2 is not None else None
+        return seq, qual, full_length
+    return cons_seq, cons_qual, full_length
+
+
+# --- single-copy full-length (gen_cons.c:89-171) ---
+
+
+def _collect_ed_res(mtp: Params, q: str, seq: str):
+    """Up to 3 adapter placements on the raw read (gen_cons.c:89-110)."""
+    res = []
+    qlen = len(q)
+    k = int(qlen * (1 - mtp.ada_match_rat))
+    ed, start, end = align_hw(q, seq, k)
+    if ed != -1:
+        res.append((ed, start, end))
+        if start >= qlen:
+            ed2, s2, e2 = align_hw(q, seq[:start], k)
+            if ed2 != -1:
+                res.append((ed2, s2, e2))
+        if end <= len(seq) - qlen:
+            ed3, s3, e3 = align_hw(q, seq[end:], k)
+            if ed3 != -1:
+                res.append((ed3, end + s3, end + e3))
+    return res
+
+
+def _get_full_len_seq(mtp: Params, left_res, right_res):
+    """Best (5', 3'rc) pair with gap >= min_len (gen_cons.c:112-126)."""
+    INT32_MAX = 2**31 - 1
+    tot_ed = INT32_MAX
+    tar = None
+    for led, lstart, lend in left_res:
+        for red, rstart, rend in right_res:
+            if rstart - lend - 1 >= mtp.min_len:
+                if tot_ed > led + red:
+                    tot_ed = led + red
+                    tar = (lend + 1, rstart - 1)
+    return tot_ed, tar
+
+
+def single_copy_full_len_seq(
+    seq: str, result: TandemResult, mtp: Params
+) -> None:
+    """Single-copy full-length extraction (gen_cons.c:128-171). Note: the
+    consensus here is the RAW read slice (case preserved), qual = '!'."""
+    INT32_MAX = 2**31 - 1
+    full_length = 0
+    par = None
+    _5 = _collect_ed_res(mtp, mtp.five_seq, seq)
+    _3 = _collect_ed_res(mtp, mtp.three_rc_seq, seq)
+    tot_ed, tar = _get_full_len_seq(mtp, _5, _3)
+    if tot_ed != INT32_MAX:
+        par = tar
+        full_length = 1
+    if tot_ed > 0:
+        _5r = _collect_ed_res(mtp, mtp.five_rc_seq, seq)
+        _3r = _collect_ed_res(mtp, mtp.three_seq, seq)
+        tot2, tar2 = _get_full_len_seq(mtp, _3r, _5r)
+        if tot2 < tot_ed:
+            par = tar2
+            full_length = 2
+    if full_length > 0 and par is not None:
+        tar_start, tar_end = par
+        cons_len = tar_end - tar_start + 1
+        if mtp.only_unit:
+            result.add_unit([tar_start, tar_end])
+        else:
+            qual = None
+            if mtp.out_fmt in (FASTQ_FMT, TAB_QUAL_FMT):
+                qual = "!" * cons_len
+            rec = ConsRecord(
+                seq=seq[tar_start : tar_start + cons_len],
+                qual=qual,
+                start=tar_start,
+                end=tar_end,
+                copy_num=1.0,
+                ave_match=100.0,
+                full_length=full_length,
+                sub_pos=[tar_start, tar_end],
+            )
+            result.add_cons(rec, mtp)
