@@ -1,0 +1,106 @@
+"""End-of-round benchmark: full-pipeline reads/s on one chip.
+
+Workload: synthetic ONT-R2C2-style concatemer reads (~4.3 kb: 9 copies of a
+450 bp unit at 10% error between adapter-less flanks), the shape of the
+reference's headline use case (README.md:62-70; BASELINE.json configs).
+
+Baseline: the reference binary cannot be built in this image (abPOA
+submodule is empty), so vs_baseline is measured against this repo's own
+single-core host oracle path (NumPy/POA, --device off) — the honest
+stand-in for "CPU TideHunter at 1 thread" until a reference binary exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def synth_read(rng, unit_len=450, copies=9, err=0.10, flank=150):
+    from tidehunter_tpu.io.codec import decode
+
+    unit = rng.integers(0, 4, unit_len).astype(np.uint8)
+    parts = [rng.integers(0, 4, flank).astype(np.uint8)]
+    for _ in range(copies):
+        out = []
+        for c in unit:
+            r = rng.random()
+            if r < err / 3:
+                continue
+            elif r < 2 * err / 3:
+                out.append(rng.integers(0, 4))
+                out.append(c)
+            elif r < err:
+                out.append(rng.integers(0, 4))
+            else:
+                out.append(c)
+        parts.append(np.array(out, dtype=np.uint8))
+    parts.append(rng.integers(0, 4, flank).astype(np.uint8))
+    return decode(np.concatenate(parts))
+
+
+def main() -> int:
+    n_reads = int(os.environ.get("BENCH_READS", "32"))
+    n_base = int(os.environ.get("BENCH_BASELINE_READS", "3"))
+
+    from tidehunter_tpu.io.fastx import FastxRecord
+    from tidehunter_tpu.io.output import write_read_output
+    from tidehunter_tpu.params import Params
+    from tidehunter_tpu.engine import make_engine
+    from tidehunter_tpu.pipeline.core import tidehunter_core
+
+    rng = np.random.default_rng(42)
+    reads = [
+        FastxRecord(name=f"r2c2_{i}", comment="", seq=synth_read(rng))
+        for i in range(n_reads)
+    ]
+
+    mtp = Params()
+    process_chunk = make_engine(mtp, platform="tpu")
+
+    # warmup: pays all kernel compiles (no persistent cache on this platform)
+    process_chunk(reads[:2], mtp)
+
+    sink = io.StringIO()
+    t0 = time.perf_counter()
+    results = process_chunk(reads, mtp)
+    for rec, res in zip(reads, results):
+        write_read_output(sink, rec.name, rec.seq, res, mtp)
+    dt = time.perf_counter() - t0
+    reads_per_s = n_reads / dt
+
+    # single-core host oracle baseline (CPU TideHunter stand-in)
+    t0 = time.perf_counter()
+    for rec in reads[:n_base]:
+        tidehunter_core(rec.seq, mtp)
+    base_dt = (time.perf_counter() - t0) / n_base
+    base_reads_per_s = 1.0 / base_dt
+
+    n_cons = sum(len(r.records) for r in results)
+    print(
+        f"# detail: {n_reads} reads in {dt:.2f}s; {n_cons} consensus records; "
+        f"host-oracle baseline {base_reads_per_s:.3f} reads/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "reads/s/chip, synthetic ONT R2C2 4.3kb (450bp x9, 10% err), full pipeline",
+                "value": round(reads_per_s, 3),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_s / base_reads_per_s, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,381 @@
+"""Batched device engine: the TPU execution path of the pipeline.
+
+The per-read pipeline stages are generators that yield alignment requests
+(ops/partition.partition_walk, pipeline/consensus.seqs_msa_gen); this engine
+drives many reads' generators concurrently and resolves each round of
+requests with batched wavefront kernel calls, bucketed by length:
+
+  chunk of reads
+    -> encode + seed (vectorized NumPy)                      [host]
+    -> chain DP (native C, exact)                            [host]
+    -> partition walks, breadth-first across reads           [TPU batches]
+    -> consensus: star-MSA rounds + aveMatch + boundary ext  [TPU batches]
+    -> full-length adapters (Myers), record assembly         [host]
+
+Chain/region record order within a read is kept reference-identical by
+running each read's consensus generators strictly in sequence (chains are
+sequential per read; different reads interleave freely).
+
+Request kinds:
+  ('global', q, t, qle) -> (iden_n, t_left_ext)     ksw2 scoring
+  ('giden', q, t)       -> iden_n                   ksw2 scoring
+  ('ext', q, t)         -> (max_q, max_t)           ksw2 scoring
+  ('msa', units)        -> (cons, cov)              POA scoring, star-MSA
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .io.codec import encode
+from .io.output import TandemResult
+from .params import Params
+from .ops import ksw2
+from .ops.chaining_native import tandem_chain_native
+from .ops.msa_batch import star_msa_round
+from .ops.partition import partition_walk
+from .ops.seeding import collect_tandem_repeat_hits
+from .pipeline.consensus import (
+    resolve_oracle,
+    seqs_msa_gen,
+    single_copy_full_len_seq,
+)
+from .utils.log import log
+
+KSW2_SCORES = (ksw2.MATCH_SC, ksw2.MIS_SC, ksw2.GAP_OPEN, ksw2.GAP_EXT)
+
+# VMEM budget: B*T cells per Pallas call (see ops/ksw2_pallas.py)
+CELL_CAP = 160_000
+MSA_ROUNDS = 2
+
+
+def _enable_compile_cache() -> None:
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/tidehunter_tpu_xla"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+class BatchAligner:
+    """Pads, buckets and dispatches alignment requests to the device."""
+
+    def __init__(self, platform: str, buckets: Sequence[int]):
+        import jax
+
+        _enable_compile_cache()
+        self.buckets = sorted(buckets)
+        backend = jax.default_backend()
+        if platform == "tpu" and backend == "tpu":
+            from .ops import ksw2_pallas as kmod
+        else:
+            from .ops import ksw2_jax as kmod
+        self.kmod = kmod
+        self.max_len = self.buckets[-1]
+
+    def _bucket(self, n: int) -> Optional[int]:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return None
+
+    def _grouped(self, reqs, qi=0, ti=1):
+        """Square buckets (LQ == LT): the wavefront kernel compiles once per
+        bucket size — shape diversity is expensive because the axon platform
+        has no persistent compilation cache."""
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        host: List[int] = []
+        for i, req in enumerate(reqs):
+            b = self._bucket(max(1, len(req[qi]), len(req[ti])))
+            if b is None:
+                host.append(i)
+            else:
+                groups.setdefault((b, b), []).append(i)
+        return groups, host
+
+    @staticmethod
+    def _pad(reqs, idxs, LQ, LT, qi=0, ti=1):
+        n = len(idxs)
+        B = ((n + 7) // 8) * 8
+        q = np.full((B, LQ), 4, np.uint8)
+        t = np.full((B, LT), 4, np.uint8)
+        qlen = np.ones(B, np.int32)
+        tlen = np.ones(B, np.int32)
+        for row, i in enumerate(idxs):
+            qs, ts = reqs[i][qi], reqs[i][ti]
+            q[row, : len(qs)] = qs
+            t[row, : len(ts)] = ts
+            qlen[row] = max(1, len(qs))
+            tlen[row] = max(1, len(ts))
+        return q, qlen, t, tlen
+
+    def _sub_batches(self, idxs, LQ, LT):
+        cap = max(8, (CELL_CAP // max(LQ, LT)) // 8 * 8)
+        for i in range(0, len(idxs), cap):
+            yield idxs[i : i + cap]
+
+    def run_global(self, reqs, scores=KSW2_SCORES):
+        """reqs: [(q, t, qle)] -> [(iden_n, t_left_ext)]"""
+        out: List = [None] * len(reqs)
+        groups, host = self._grouped(reqs)
+        for i in host:
+            q, t, qle = reqs[i]
+            iden, cig = ksw2.global_with_cigar(q, t)
+            out[i] = (iden, ksw2.backtrack_left_end(cig, qle))
+        for (LQ, LT), idxs in groups.items():
+            for sub in self._sub_batches(idxs, LQ, LT):
+                q, qlen, t, tlen = self._pad(reqs, sub, LQ, LT)
+                qle = np.array(
+                    [max(0, reqs[i][2]) for i in sub]
+                    + [0] * (len(qlen) - len(sub)),
+                    np.int32,
+                )
+                _, iden, tleft = self.kmod.extz_global_batch(
+                    q, qlen, t, tlen, qle, scores
+                )
+                for row, i in enumerate(sub):
+                    out[i] = (int(iden[row]), int(tleft[row]))
+        return out
+
+    def run_giden(self, reqs, scores=KSW2_SCORES):
+        """reqs: [(q, t)] -> [iden_n]"""
+        res = self.run_global([(q, t, 0) for q, t in reqs], scores)
+        return [r[0] for r in res]
+
+    def run_ext(self, reqs, scores=KSW2_SCORES):
+        """reqs: [(q, t)] -> [(max_q, max_t)] (reverse beforehand for left)"""
+        out: List = [None] * len(reqs)
+        groups, host = self._grouped(reqs)
+        for i in host:
+            r = ksw2.extz(reqs[i][0], reqs[i][1], score_only=True)
+            out[i] = (r.max_q, r.max_t)
+        for (LQ, LT), idxs in groups.items():
+            for sub in self._sub_batches(idxs, LQ, LT):
+                q, qlen, t, tlen = self._pad(reqs, sub, LQ, LT)
+                _, mt, mq, _ = self.kmod.extz_score_batch(q, qlen, t, tlen, scores)
+                for row, i in enumerate(sub):
+                    out[i] = (int(mq[row]), int(mt[row]))
+        return out
+
+    def run_ops(self, reqs, scores):
+        """reqs: [(q, t)] -> [(ops_rl int8 array, n_steps)]"""
+        out: List = [None] * len(reqs)
+        groups, host = self._grouped(reqs)
+        for i in host:
+            q, t = reqs[i]
+            _, cigar = ksw2.global_with_cigar(q, t)  # scores divergence ok:
+            # host fallback only triggers beyond the largest bucket
+            ops = []
+            for length, op in reversed(cigar):
+                code = 0 if op == 0 else (1 if op == 2 else 2)
+                ops.extend([code] * length)
+            out[i] = (np.array(ops, np.int8), len(ops))
+        for (LQ, LT), idxs in groups.items():
+            for sub in self._sub_batches(idxs, LQ, LT):
+                q, qlen, t, tlen = self._pad(reqs, sub, LQ, LT)
+                _, ops, n = self.kmod.extz_ops_batch(q, qlen, t, tlen, scores)
+                for row, i in enumerate(sub):
+                    out[i] = (ops[row], int(n[row]))
+        return out
+
+
+def _drive(gens: List, resolver) -> None:
+    """Breadth-first generator driving: collect one request per active
+    generator, resolve them as one batch, resume."""
+    pending: Dict[int, object] = {}
+    results: Dict[int, object] = {}
+    for gi, gen in enumerate(gens):
+        try:
+            pending[gi] = gen.send(None)
+        except StopIteration:
+            pass
+    while pending:
+        keys = list(pending.keys())
+        reqs = [pending[kk] for kk in keys]
+        answers = resolver(reqs)
+        pending = {}
+        for kk, ans in zip(keys, answers):
+            try:
+                pending[kk] = gens[kk].send(ans)
+            except StopIteration:
+                pass
+
+
+class Engine:
+    def __init__(self, mtp: Params, platform: str = "tpu", msa_mode: str = "poa"):
+        """msa_mode: 'poa' = host POA oracle (abPOA-grade accuracy),
+        'star' = device star-MSA (faster, weaker on insertions — kept until
+        the profile-POA kernel lands)."""
+        self.mtp = mtp
+        self.msa_mode = msa_mode
+        self.aligner = BatchAligner(platform, mtp.aln_bucket_sizes)
+        m = mtp
+        self.poa_scores = (m.match, -m.mismatch, m.gap_open1, m.gap_ext1)
+        # the difference recurrence needs -min_sc <= 2*(gap_open+gap_ext)
+        self.poa_on_device = (
+            msa_mode == "star"
+            and m.mismatch <= 2 * (m.gap_open1 + m.gap_ext1)
+        )
+
+    # --- request resolution ---
+
+    def _resolve_batch(self, reqs):
+        by_kind: Dict[str, List[int]] = {}
+        for i, req in enumerate(reqs):
+            by_kind.setdefault(req[0], []).append(i)
+        out: List = [None] * len(reqs)
+        if "global" in by_kind:
+            idxs = by_kind["global"]
+            res = self.aligner.run_global([reqs[i][1:] for i in idxs])
+            for i, r in zip(idxs, res):
+                out[i] = r
+        if "giden" in by_kind:
+            idxs = by_kind["giden"]
+            res = self.aligner.run_giden([(reqs[i][1], reqs[i][2]) for i in idxs])
+            for i, r in zip(idxs, res):
+                out[i] = r
+        if "ext" in by_kind:
+            idxs = by_kind["ext"]
+            res = self.aligner.run_ext([(reqs[i][1], reqs[i][2]) for i in idxs])
+            for i, r in zip(idxs, res):
+                out[i] = r
+        if "msa" in by_kind:
+            idxs = by_kind["msa"]
+            res = self._resolve_msa([reqs[i][1] for i in idxs])
+            for i, r in zip(idxs, res):
+                out[i] = r
+        return out
+
+    def _resolve_msa(self, regions: List[List[np.ndarray]]):
+        if not self.poa_on_device:
+            return [resolve_oracle(("msa", units), self.mtp) for units in regions]
+        templates = [units[0].astype(np.uint8) for units in regions]
+        cons = None
+        for _ in range(MSA_ROUNDS):
+            cons = star_msa_round(
+                regions,
+                templates,
+                lambda pairs: self.aligner.run_ops(pairs, self.poa_scores),
+            )
+            new_templates = []
+            for ri, (cb, cov) in enumerate(cons):
+                new_templates.append(
+                    cb if len(cb) > 0 else templates[ri]
+                )
+            templates = new_templates
+        return cons
+
+    # --- chunk processing ---
+
+    def process_chunk(self, chunk, mtp: Params) -> List[TandemResult]:
+        results = [TandemResult() for _ in chunk]
+        bseqs = [None] * len(chunk)
+        read_chains = [None] * len(chunk)
+
+        # stage 1: seed + chain (host)
+        for ri, rec in enumerate(chunk):
+            if len(rec.seq) < mtp.k:
+                read_chains[ri] = (None, [])
+                continue
+            bseq = encode(rec.seq)
+            bseqs[ri] = bseq
+            ends, periods = collect_tandem_repeat_hits(
+                bseq, mtp.k, mtp.w, mtp.hpc, mtp.min_p, mtp.max_p
+            )
+            read_chains[ri] = tandem_chain_native(ends, periods, mtp.k)
+
+        # stage 2: partition walks, batched breadth-first
+        walkers = []
+        walker_meta = []
+        for ri, rec in enumerate(chunk):
+            dp, chains = read_chains[ri]
+            for ci, ch in enumerate(chains):
+                walkers.append(
+                    _collect_gen(
+                        partition_walk(
+                            bseqs[ri], len(rec.seq), dp, ch, mtp.k, mtp.max_div
+                        )
+                    )
+                )
+                walker_meta.append((ri, ci))
+        par_results: Dict[Tuple[int, int], List[int]] = {}
+        holder: Dict[int, List[int]] = {}
+
+        def resolve_global(reqs):
+            return self.aligner.run_global(reqs)
+
+        _drive_collect(walkers, resolve_global, holder)
+        for wi, (ri, ci) in enumerate(walker_meta):
+            par_results[(ri, ci)] = holder.get(wi)
+
+        # stage 3: consensus, strictly sequential per read, batched across
+        consensus_gens = []
+        for ri, rec in enumerate(chunk):
+            dp, chains = read_chains[ri]
+            chain_pars = []
+            for ci in range(len(chains)):
+                par_pos = par_results[(ri, ci)]
+                if par_pos is None or len(par_pos) < mtp.min_copy + 1:
+                    continue
+                chain_pars.append(par_pos)
+            consensus_gens.append(
+                _read_consensus_gen(
+                    len(rec.seq), bseqs[ri], chain_pars, results[ri], mtp
+                )
+            )
+        _drive(consensus_gens, self._resolve_batch)
+
+        # stage 4: single-copy full-length (host Myers)
+        if (
+            mtp.single_copy
+            and mtp.only_full_length
+            and mtp.five_seq is not None
+            and mtp.three_seq is not None
+        ):
+            for ri, rec in enumerate(chunk):
+                single_copy_full_len_seq(rec.seq, results[ri], mtp)
+        return results
+
+
+def _read_consensus_gen(seq_len, bseq, chain_pars, result, mtp):
+    """Run one read's chains sequentially (record order parity)."""
+    for par_pos in chain_pars:
+        yield from seqs_msa_gen(seq_len, bseq, par_pos, result, mtp)
+
+
+def _collect_gen(gen):
+    """Wrap a value-returning generator so its return value is captured."""
+    ret = yield from gen
+    return ret
+
+
+def _drive_collect(gens, resolver, holder: Dict[int, object]) -> None:
+    pending: Dict[int, object] = {}
+    for gi, gen in enumerate(gens):
+        try:
+            pending[gi] = gen.send(None)
+        except StopIteration as stop:
+            holder[gi] = stop.value
+    while pending:
+        keys = list(pending.keys())
+        answers = resolver([pending[kk] for kk in keys])
+        pending = {}
+        for kk, ans in zip(keys, answers):
+            try:
+                pending[kk] = gens[kk].send(ans)
+            except StopIteration as stop:
+                holder[kk] = stop.value
+
+
+def make_engine(mtp: Params, platform: str = "tpu"):
+    engine = Engine(mtp, platform)
+    log(f"device engine ready (platform={platform})")
+    return engine.process_chunk

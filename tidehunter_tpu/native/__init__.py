@@ -1,0 +1,56 @@
+"""Native host kernels (C, loaded via ctypes).
+
+The TPU owns the batched compute path; irregular host control flow that the
+reference ran in C (the chaining DP with data-dependent early exits,
+reference src/tandem_chain.c) stays native here too. The shared library is
+built on demand from the vendored source with the system compiler and
+cached next to it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "chainx.c")
+_LIB = os.path.join(_DIR, "libchainx.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+        print(f"[native] build failed: {exc}", file=sys.stderr)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError as exc:
+        print(f"[native] load failed: {exc}", file=sys.stderr)
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.th_chain.restype = ctypes.c_int64
+    lib.th_chain.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                             i64p, i64p, i64p]
+    _lib = lib
+    return _lib

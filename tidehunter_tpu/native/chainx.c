@@ -1,0 +1,256 @@
+/* Tandem-repeat chaining DP — native host kernel.
+ *
+ * Exact-semantics implementation of the chaining stage specified by the
+ * reference chainer (reference src/tandem_chain.c:290-404): grouped hit DP
+ * with the same pruning rules (nearest-group-first scan, iter_n/max_h
+ * cutoff, SAME/OVL shortcuts), score ranking with the reference's stable
+ * tie order (group desc, j asc), backtrack with overlap dedup that may kill
+ * lower-scoring chains, the literal sort_chain index quirk, and first-cell
+ * representatives. This is an original implementation written against the
+ * behavioral spec established by the Python oracle (ops/chaining.py), which
+ * is itself pinned to the reference by golden tests.
+ *
+ * The chain DP is host-side control flow in the TPU build (irregular,
+ * data-dependent early exits); this keeps it off the Python interpreter.
+ *
+ * Build: cc -O2 -shared -fPIC -o libchainx.so chainx.c
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define NO_CON 0
+#define REG_CON 1
+#define SAME_CON 2
+#define OVL_CON 3
+#define TOP_N 1000
+
+typedef struct {
+    int64_t *cells;
+    int64_t len;
+    int64_t score;
+} chain_t;
+
+static inline int ilog2_64(uint64_t v) {
+    if (v == 0) return -1;
+    return 63 - __builtin_clzll(v);
+}
+
+static inline int get_con_score(
+    int64_t cur_start, int64_t cur_end, int64_t pre_start, int64_t pre_end,
+    int64_t k, int64_t *con_score)
+{
+    int64_t cur_p = cur_end - cur_start, pre_p = pre_end - pre_start;
+    if (cur_start <= pre_start || (double)cur_p >= (double)pre_p * 1.8 ||
+        (double)pre_p >= (double)cur_p * 1.8)
+        return NO_CON;
+    int64_t dis1 = cur_end - pre_end; if (dis1 < 0) dis1 = -dis1;
+    int64_t dis2 = cur_start - pre_start; if (dis2 < 0) dis2 = -dis2;
+    int64_t m1 = dis1 < k ? dis1 : k, m2 = dis2 < k ? dis2 : k;
+    int64_t matched = m1 + m2;
+    int64_t dp_ = cur_p - pre_p; if (dp_ < 0) dp_ = -dp_;
+    int64_t gap = dp_ * dp_ / 2 + ilog2_64((uint64_t)(dis1 + dis2)) / 2;
+    *con_score = matched - gap;
+    if (dp_ == 0) return matched < 2 * k ? OVL_CON : SAME_CON;
+    return REG_CON;
+}
+
+/* ranking entry */
+typedef struct { int64_t flat, grp, j, score; } rank_t;
+
+static int rank_cmp(const void *a, const void *b) {
+    const rank_t *x = (const rank_t *)a, *y = (const rank_t *)b;
+    if (x->score != y->score) return x->score > y->score ? -1 : 1;
+    if (x->grp != y->grp) return x->grp > y->grp ? -1 : 1;   /* i desc */
+    return x->j < y->j ? -1 : 1;                              /* j asc */
+}
+
+/* chain geometry helpers on the flat dp arrays */
+static int is_overlap_chain1(
+    const int64_t *start, const chain_t *c1, const chain_t *c2)
+{
+    int64_t s1 = start[c1->cells[0]], e1 = start[c1->cells[c1->len - 1]];
+    int64_t s2 = start[c2->cells[0]], e2 = start[c2->cells[c2->len - 1]];
+    int64_t mn = (e1 - s1) < (e2 - s2) ? (e1 - s1) : (e2 - s2);
+    int64_t ov = ((e1 < e2) ? e1 : e2) - ((s1 > s2) ? s1 : s2);
+    double ratio = (double)ov / (double)mn; /* mn==0 -> inf/nan like C */
+    return ratio >= 0.5;
+}
+
+/* returns the number of post-processed chains; caller buffers:
+ *   out_cells   cap n      (flat cell indices, concatenated)
+ *   out_offsets cap TOP_N+1
+ *   out_est     cap TOP_N*3 (est_period, est_start, est_ch_i per chain)
+ */
+int64_t th_chain(
+    const int64_t *ends, const int64_t *periods, int64_t n, int64_t k,
+    int64_t *out_cells, int64_t *out_offsets, int64_t *out_est)
+{
+    if (n < 2) return 0;
+    /* group by end (input sorted by end, then period) */
+    int64_t *start = (int64_t *)malloc(n * sizeof(int64_t));
+    int64_t *score = (int64_t *)malloc(n * sizeof(int64_t));
+    int64_t *from = (int64_t *)malloc(n * sizeof(int64_t));
+    int64_t *grp_of = (int64_t *)malloc(n * sizeof(int64_t));
+    uint8_t *tracked = (uint8_t *)calloc(n, 1);
+    int64_t tot_n = 0, i, j;
+    for (i = 0; i < n; ++i) {
+        if (i == 0 || ends[i] != ends[i - 1]) tot_n++;
+        grp_of[i] = tot_n - 1;
+        start[i] = ends[i] - periods[i];
+        score[i] = k + (k < periods[i] ? k : periods[i]);
+        from[i] = -1;
+    }
+    int64_t *gptr = (int64_t *)malloc((tot_n + 1) * sizeof(int64_t));
+    {
+        int64_t g = 0;
+        for (i = 0; i < n; ++i)
+            if (i == 0 || ends[i] != ends[i - 1]) gptr[g++] = i;
+        gptr[tot_n] = n;
+    }
+
+    /* main DP (tandem_chain.c:321-356) */
+    for (int64_t gi = 1; gi < tot_n; ++gi) {
+        for (int64_t cur = gptr[gi]; cur < gptr[gi + 1]; ++cur) {
+            int64_t cs = start[cur], ce = ends[cur];
+            int64_t max_score = score[cur], max_pre = -1;
+            int64_t max_h = ce - cs, iter_n = 0;
+            for (int64_t pi = gi - 1; pi >= 0; --pi) {
+                if (ends[gptr[pi]] < cs) break;
+                int gt = 0, stop = 0;
+                for (int64_t pre = gptr[pi]; pre < gptr[pi + 1]; ++pre) {
+                    int64_t cons;
+                    int res = get_con_score(cs, ce, start[pre], ends[pre], k, &cons);
+                    if (res == NO_CON) continue;
+                    int64_t sc = score[pre] + cons;
+                    if (sc > max_score) {
+                        max_score = sc; max_pre = pre;
+                        if (res == SAME_CON || res == OVL_CON) { stop = 1; break; }
+                        gt = 1;
+                    } else if (res == OVL_CON) { stop = 1; break; }
+                }
+                if (stop) break;
+                if (gt) iter_n = 0;
+                else if (++iter_n >= max_h) break;
+            }
+            if (max_score > score[cur]) { score[cur] = max_score; from[cur] = max_pre; }
+        }
+    }
+
+    /* rank positive cells: (grp desc, j asc) stable under score desc */
+    rank_t *rank = (rank_t *)malloc(n * sizeof(rank_t));
+    int64_t rn = 0;
+    for (int64_t gi = tot_n - 1; gi >= 0; --gi)
+        for (int64_t f = gptr[gi]; f < gptr[gi + 1]; ++f)
+            if (score[f] > 0) {
+                rank[rn].flat = f; rank[rn].grp = gi;
+                rank[rn].j = f - gptr[gi]; rank[rn].score = score[f];
+                rn++;
+            }
+    qsort(rank, rn, sizeof(rank_t), rank_cmp);
+
+    chain_t *chains = (chain_t *)calloc(TOP_N, sizeof(chain_t));
+    int64_t *chain_idx = (int64_t *)malloc(TOP_N * sizeof(int64_t));
+    for (i = 0; i < TOP_N; ++i) {
+        chains[i].cells = (int64_t *)malloc((tot_n > 0 ? tot_n : 1) * sizeof(int64_t));
+        chains[i].len = 0;
+        chain_idx[i] = i;
+    }
+    int64_t ch_n = 0;
+
+    for (int64_t ri = 0; ri < rn && ch_n < TOP_N; ++ri) {
+        int64_t flat = rank[ri].flat;
+        /* is_in_chain (tandem_chain.c:170-185) */
+        {
+            int64_t cell_start = start[gptr[grp_of[flat]]];
+            int64_t cell_end = ends[flat];
+            int in = 0;
+            for (int64_t _i = 0; _i < ch_n; ++_i) {
+                chain_t *c = &chains[chain_idx[_i]];
+                if (c->len <= 0) continue;
+                int64_t c_start = start[c->cells[0]];
+                int64_t c_end = ends[c->cells[c->len - 1]];
+                if (c_end < cell_start) { in = 0; break; }
+                if (c_start > cell_end) continue;
+                if (cell_end - c_start >= (c_end - c_start) / 2) { in = 1; break; }
+            }
+            if (in) continue;
+        }
+        /* backtrack_dp (tandem_chain.c:86-111) */
+        if (!tracked[flat]) {
+            chain_t *nc = &chains[ch_n];
+            int64_t sc = score[flat], cur = flat, len = 0;
+            for (;;) {
+                tracked[cur] = 1;
+                nc->cells[len++] = cur;
+                int64_t pre = from[cur];
+                if (pre == -1) break;
+                if (tracked[pre]) { sc -= score[pre]; break; }
+                cur = pre;
+            }
+            /* reverse */
+            for (i = 0, j = len - 1; i < j; ++i, --j) {
+                int64_t t = nc->cells[i]; nc->cells[i] = nc->cells[j]; nc->cells[j] = t;
+            }
+            nc->len = len; nc->score = sc;
+            int accept = 0;
+            if (len > 1) {
+                /* is_overlap_chain (tandem_chain.c:68-83) */
+                int reject = 0;
+                int64_t st = start[nc->cells[len - 1]];
+                for (i = ch_n - 1; i >= 0; --i) {
+                    chain_t *c = &chains[i];
+                    if (c->len <= 0) continue;
+                    if (ends[c->cells[c->len - 1]] <= st) break;
+                    if (is_overlap_chain1(start, c, nc)) {
+                        if (c->score > nc->score) reject = 1;
+                        else c->len = 0;
+                        break;
+                    }
+                }
+                accept = !reject;
+            }
+            if (accept) ch_n++;
+        }
+        /* sort_chain — literal port incl. the index quirk
+         * (tandem_chain.c:188-207) */
+        if (ch_n >= 2) {
+            for (int64_t _i = 0; _i < ch_n - 1; ++_i) {
+                int64_t ii = chain_idx[_i];
+                if (chains[ii].len <= 0) continue;
+                int64_t e1 = ends[chains[ii].cells[chains[ii].len - 1]];
+                for (int64_t _j = _i + 1; _j < ch_n; ++_j) {
+                    int64_t jj = chain_idx[_j];
+                    if (chains[jj].len <= 0) continue;
+                    int64_t e2 = ends[chains[jj].cells[chains[jj].len - 1]];
+                    if (e1 < e2) {
+                        chain_idx[_i] = jj; chain_idx[_j] = ii;
+                        e1 = e2;
+                    }
+                }
+            }
+        }
+    }
+
+    /* post-process (tandem_chain.c:391-400) */
+    int64_t n_post = 0, cell_off = 0;
+    out_offsets[0] = 0;
+    for (i = ch_n - 1; i >= 0; --i) {
+        chain_t *c = &chains[chain_idx[i]];
+        if (c->len - 1 < 2) continue;
+        memcpy(out_cells + cell_off, c->cells, c->len * sizeof(int64_t));
+        cell_off += c->len;
+        int64_t first = c->cells[0];
+        out_est[n_post * 3 + 0] = ends[first] - start[first];
+        out_est[n_post * 3 + 1] = start[first];
+        out_est[n_post * 3 + 2] = 0;
+        n_post++;
+        out_offsets[n_post] = cell_off;
+    }
+
+    for (i = 0; i < TOP_N; ++i) free(chains[i].cells);
+    free(chains); free(chain_idx); free(rank);
+    free(start); free(score); free(from); free(grp_of); free(tracked); free(gptr);
+    return n_post;
+}

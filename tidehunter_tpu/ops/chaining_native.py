@@ -1,0 +1,53 @@
+"""Native-backed chaining: same results as ops/chaining.py, C speed.
+
+Falls back to the Python oracle when the native library can't be built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..native import get_lib
+from .chaining import TOP_N, Chain, DpGrid, tandem_chain as _py_tandem_chain
+
+
+def tandem_chain_native(
+    ends: np.ndarray, periods: np.ndarray, k: int
+) -> Tuple[Optional[DpGrid], List[Chain]]:
+    lib = get_lib()
+    if lib is None:
+        return _py_tandem_chain(ends, periods, k)
+    n = len(ends)
+    if n < 2:
+        return None, []
+    ends64 = np.ascontiguousarray(ends, dtype=np.int64)
+    per64 = np.ascontiguousarray(periods, dtype=np.int64)
+    out_cells = np.empty(n, dtype=np.int64)
+    out_offsets = np.empty(TOP_N + 1, dtype=np.int64)
+    out_est = np.empty(TOP_N * 3, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n_post = lib.th_chain(
+        ends64.ctypes.data_as(i64p),
+        per64.ctypes.data_as(i64p),
+        ctypes.c_int64(n),
+        ctypes.c_int64(k),
+        out_cells.ctypes.data_as(i64p),
+        out_offsets.ctypes.data_as(i64p),
+        out_est.ctypes.data_as(i64p),
+    )
+    dp = DpGrid(ends64, per64, k)
+    chains: List[Chain] = []
+    for ci in range(n_post):
+        lo, hi = int(out_offsets[ci]), int(out_offsets[ci + 1])
+        chains.append(
+            Chain(
+                cells=[int(x) for x in out_cells[lo:hi]],
+                est_period=int(out_est[ci * 3 + 0]),
+                est_start=int(out_est[ci * 3 + 1]),
+                est_ch_i=int(out_est[ci * 3 + 2]),
+            )
+        )
+    return dp, chains

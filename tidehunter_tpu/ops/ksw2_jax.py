@@ -36,10 +36,11 @@ from .ksw2 import GAP_EXT, GAP_OPEN, MATCH_SC, MAX_SC, MIS_SC, QE, QE2, SC_N
 NEG_INF32 = jnp.int32(-(1 << 30))
 
 
-def _row_scores(tb, qb):
+def _row_scores(tb, qb, scores):
+    match, mis, go, ge = scores
     is_n = (tb == 4) | (qb == 4)
     eq = tb == qb
-    return jnp.where(is_n, SC_N, jnp.where(eq, MATCH_SC, MIS_SC)).astype(jnp.int32)
+    return jnp.where(is_n, -ge, jnp.where(eq, match, mis)).astype(jnp.int32)
 
 
 def _row_max_with_ref_ties(H, st0, en0, T):
@@ -71,8 +72,13 @@ def _row_max_with_ref_ties(H, st0, en0, T):
     return M, max_t
 
 
-def _wavefront_row(carry, r, q, t, qlen, tlen, T, with_dirs):
+def _wavefront_row(carry, r, q, t, qlen, tlen, T, with_dirs,
+                   scores=(MATCH_SC, MIS_SC, GAP_OPEN, GAP_EXT)):
     """One anti-diagonal for one problem. carry: (u, v, x, y, H, res)."""
+    MATCH, MIS, GO, GE = scores
+    QE_ = GO + GE
+    QE2_ = 2 * QE_
+    MAXSC = MATCH + QE2_
     u, v, x, y, H, best = carry
     st0 = jnp.maximum(0, r - qlen + 1)
     en0 = jnp.minimum(tlen - 1, r)
@@ -83,10 +89,10 @@ def _wavefront_row(carry, r, q, t, qlen, tlen, T, with_dirs):
     # query index along the diagonal: j = r - t
     qj = jnp.clip(r - ti, 0, q.shape[0] - 1)
     qb = q[qj]
-    s = _row_scores(t, qb)
+    s = _row_scores(t, qb, scores)
 
     # boundary injections on previous-row state
-    bq = jnp.where(r > 0, GAP_OPEN, 0).astype(jnp.int32)
+    bq = jnp.where(r > 0, GO, 0).astype(jnp.int32)
     y_b = jnp.where(ti == r, 0, y)
     u_b = jnp.where(ti == r, bq, u)
     x_sh = jnp.concatenate([jnp.zeros(1, jnp.int32), x[:-1]])
@@ -94,15 +100,15 @@ def _wavefront_row(carry, r, q, t, qlen, tlen, T, with_dirs):
 
     a = x_sh + v_sh
     b = y_b + u_b
-    z = s + QE2
+    z = s + QE2_
     d = (a > z).astype(jnp.int32)
     z = jnp.maximum(z, a)
     d = jnp.where(b > z, 2, d)
     z = jnp.maximum(z, b)
-    z = jnp.minimum(z, MAX_SC)
+    z = jnp.minimum(z, MAXSC)
     u_new = z - v_sh
     v_new = z - u_b
-    z2 = z - GAP_OPEN
+    z2 = z - GO
     a2 = a - z2
     b2 = b - z2
     x_new = jnp.maximum(a2, 0)
@@ -119,11 +125,11 @@ def _wavefront_row(carry, r, q, t, qlen, tlen, T, with_dirs):
     # H recurrence
     h_prev_en0m1 = H[jnp.maximum(en0 - 1, 0)]
     h_en0 = jnp.where(
-        en0 > 0, h_prev_en0m1 + u[en0] - QE, H[0] + v[0] - QE
+        en0 > 0, h_prev_en0m1 + u[en0] - QE_, H[0] + v[0] - QE_
     )
-    H1 = jnp.where(mask & (ti < en0), H + v - QE, H)
+    H1 = jnp.where(mask & (ti < en0), H + v - QE_, H)
     H1 = jnp.where(ti == en0, h_en0, H1)
-    H1 = jnp.where(r == 0, jnp.where(ti == 0, v - QE - QE, H), H1)
+    H1 = jnp.where(r == 0, jnp.where(ti == 0, v - QE_ - QE_, H), H1)
     H = jnp.where(active, H1, H)
 
     max_H, max_t = _row_max_with_ref_ties(H, st0, en0, T)
@@ -142,7 +148,8 @@ def _wavefront_row(carry, r, q, t, qlen, tlen, T, with_dirs):
     return carry, dirs
 
 
-def _extz_one(q, t, qlen, tlen, with_dirs, n_rows):
+def _extz_one(q, t, qlen, tlen, with_dirs, n_rows,
+              scores=(MATCH_SC, MIS_SC, GAP_OPEN, GAP_EXT)):
     T = t.shape[0]
     u = jnp.zeros(T, jnp.int32)
     v = jnp.zeros(T, jnp.int32)
@@ -151,7 +158,8 @@ def _extz_one(q, t, qlen, tlen, with_dirs, n_rows):
     H = jnp.full(T, NEG_INF32, jnp.int32)
     best = (jnp.int32(0), jnp.int32(-1), jnp.int32(-1), NEG_INF32)
     body = functools.partial(
-        _wavefront_row, q=q, t=t, qlen=qlen, tlen=tlen, T=T, with_dirs=with_dirs
+        _wavefront_row, q=q, t=t, qlen=qlen, tlen=tlen, T=T,
+        with_dirs=with_dirs, scores=scores,
     )
     carry, dirs = jax.lax.scan(
         body, (u, v, x, y, H, best), jnp.arange(n_rows, dtype=jnp.int32)
@@ -215,23 +223,79 @@ def _backtrack_one(dirs, q, t, qlen, tlen, q_left_ext):
     return iden, tleft
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows",))
-def _score_batch(q, qlen, t, tlen, n_rows):
-    f = jax.vmap(lambda qq, tt, ql, tl: _extz_one(qq, tt, ql, tl, False, n_rows)[0])
+def _backtrack_ops_one(dirs, qlen, tlen, max_steps):
+    """Device cigar walk emitting per-step ops (0=M 1=D 2=I, 3=pad) in
+    backtrack (right-to-left) order; returns (ops [max_steps], n_steps).
+    Trailing boundary runs (leading cigar D/I) are appended explicitly."""
+    ops = jnp.full(max_steps, 3, jnp.int8)
+
+    def cond(st):
+        i, j, state, ops, n = st
+        return (i >= 0) & (j >= 0)
+
+    def body(st):
+        i, j, state, ops, n = st
+        tmp = dirs[i + j, i].astype(jnp.int32)
+        state = jnp.where(state == 0, tmp & 7, state)
+        state = jnp.where(
+            (state != 0) & (((tmp >> (state + 2)) & 1) == 0), tmp & 7, state
+        )
+        is_m = state == 0
+        is_d = state == 1
+        op = jnp.where(is_m, 0, jnp.where(is_d, 1, 2)).astype(jnp.int8)
+        ops = ops.at[n].set(op)
+        i = i - jnp.where(is_m | is_d, 1, 0)
+        j = j - jnp.where(is_m | (~is_d), 1, 0)
+        return (i, j, state, ops, n + 1)
+
+    i, j, state, ops, n = jax.lax.while_loop(
+        cond, body, (tlen - 1, qlen - 1, jnp.int32(0), ops, jnp.int32(0))
+    )
+    # leading deletion of i+1 target bases, then leading insertion of j+1
+    step = jnp.arange(max_steps, dtype=jnp.int32)
+    ops = jnp.where(
+        (step >= n) & (step < n + jnp.maximum(i + 1, 0)), jnp.int8(1), ops
+    )
+    n = n + jnp.maximum(i + 1, 0)
+    ops = jnp.where(
+        (step >= n) & (step < n + jnp.maximum(j + 1, 0)), jnp.int8(2), ops
+    )
+    n = n + jnp.maximum(j + 1, 0)
+    return ops, n
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "scores"))
+def _score_batch(q, qlen, t, tlen, n_rows, scores):
+    f = jax.vmap(
+        lambda qq, tt, ql, tl: _extz_one(qq, tt, ql, tl, False, n_rows, scores)[0]
+    )
     return f(q, t, qlen, tlen)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows",))
-def _global_batch(q, qlen, t, tlen, q_left_ext, n_rows):
+@functools.partial(jax.jit, static_argnames=("n_rows", "scores"))
+def _global_batch(q, qlen, t, tlen, q_left_ext, n_rows, scores):
     def one(qq, tt, ql, tl, qle):
-        best, dirs = _extz_one(qq, tt, ql, tl, True, n_rows)
+        best, dirs = _extz_one(qq, tt, ql, tl, True, n_rows, scores)
         iden, tleft = _backtrack_one(dirs, qq, tt, ql, tl, qle)
         return best[3], iden, tleft
 
     return jax.vmap(one)(q, t, qlen, tlen, q_left_ext)
 
 
-def extz_score_batch(q, qlen, t, tlen):
+@functools.partial(jax.jit, static_argnames=("n_rows", "scores"))
+def _ops_batch(q, qlen, t, tlen, n_rows, scores):
+    def one(qq, tt, ql, tl):
+        best, dirs = _extz_one(qq, tt, ql, tl, True, n_rows, scores)
+        ops, n = _backtrack_ops_one(dirs, ql, tl, n_rows + 1)
+        return best[3], ops, n
+
+    return jax.vmap(one)(q, t, qlen, tlen)
+
+
+DEFAULT_SCORES = (MATCH_SC, MIS_SC, GAP_OPEN, GAP_EXT)
+
+
+def extz_score_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES):
     """Score-only extension for a padded batch.
 
     q: [B, LQ] uint8, qlen: [B] int32, t: [B, LT] uint8, tlen: [B] int32.
@@ -241,7 +305,7 @@ def extz_score_batch(q, qlen, t, tlen):
     n_rows = int(q.shape[1] + t.shape[1] - 1)
     bmax, bmax_t, bmax_q, bscore = _score_batch(
         jnp.asarray(q), jnp.asarray(qlen, jnp.int32), jnp.asarray(t),
-        jnp.asarray(tlen, jnp.int32), n_rows
+        jnp.asarray(tlen, jnp.int32), n_rows, tuple(scores)
     )
     return (
         np.asarray(bmax),
@@ -251,7 +315,7 @@ def extz_score_batch(q, qlen, t, tlen):
     )
 
 
-def extz_global_batch(q, qlen, t, tlen, q_left_ext=None):
+def extz_global_batch(q, qlen, t, tlen, q_left_ext=None, scores=DEFAULT_SCORES):
     """Global alignment for a padded batch; returns (score, iden_n,
     t_left_ext) arrays. q_left_ext defaults to 0 (projection unused)."""
     B = q.shape[0]
@@ -261,6 +325,19 @@ def extz_global_batch(q, qlen, t, tlen, q_left_ext=None):
     score, iden, tleft = _global_batch(
         jnp.asarray(q), jnp.asarray(qlen, jnp.int32), jnp.asarray(t),
         jnp.asarray(tlen, jnp.int32), jnp.asarray(q_left_ext, jnp.int32),
-        n_rows,
+        n_rows, tuple(scores),
     )
     return np.asarray(score), np.asarray(iden), np.asarray(tleft)
+
+
+def extz_ops_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES):
+    """Global alignment returning per-step ops for MSA column building.
+
+    Returns (score [B], ops [B, LQ+LT] int8 right-to-left 0=M 1=D 2=I 3=pad,
+    n_steps [B])."""
+    n_rows = int(q.shape[1] + t.shape[1] - 1)
+    score, ops, n = _ops_batch(
+        jnp.asarray(q), jnp.asarray(qlen, jnp.int32), jnp.asarray(t),
+        jnp.asarray(tlen, jnp.int32), n_rows, tuple(scores),
+    )
+    return np.asarray(score), np.asarray(ops), np.asarray(n)

@@ -44,7 +44,13 @@ def _kernel(
     LQ: int,
     LT: int,
     with_dirs: bool,
+    scores: tuple = (MATCH_SC, MIS_SC, GAP_OPEN, GAP_EXT),
 ):
+    MATCH, MIS, GO, GE = scores
+    SCN = -GE
+    QE_ = GO + GE
+    QE2_ = 2 * QE_
+    MAXSC = MATCH + QE2_
     r = pl.program_id(0)
     B = tgt_ref.shape[0]
     qlen = qlen_ref[:, 0:1]
@@ -82,9 +88,9 @@ def _kernel(
     qrr_ref[:] = qb
     tb = tgt_ref[:]
     is_n = (tb == 4) | (qb == 4)
-    s = jnp.where(is_n, SC_N, jnp.where(tb == qb, MATCH_SC, MIS_SC))
+    s = jnp.where(is_n, SCN, jnp.where(tb == qb, MATCH, MIS))
 
-    bq = jnp.where(r > 0, GAP_OPEN, 0).astype(jnp.int32)
+    bq = jnp.where(r > 0, GO, 0).astype(jnp.int32)
     u_p = u_ref[:]
     v_p = v_ref[:]
     x_p = x_ref[:]
@@ -97,15 +103,15 @@ def _kernel(
 
     a = x_sh + v_sh
     b = y_b + u_b
-    z = s + QE2
+    z = s + QE2_
     d = (a > z).astype(jnp.int32)
     z = jnp.maximum(z, a)
     d = jnp.where(b > z, 2, d)
     z = jnp.maximum(z, b)
-    z = jnp.minimum(z, MAX_SC)
+    z = jnp.minimum(z, MAXSC)
     u_new = z - v_sh
     v_new = z - u_b
-    z2 = z - GAP_OPEN
+    z2 = z - GO
     a2 = a - z2
     b2 = b - z2
     x_new = jnp.maximum(a2, 0)
@@ -132,12 +138,12 @@ def _kernel(
     h_prev_0 = H[:, 0:1]
     v_at_0 = v_n[:, 0:1]
     h_en0 = jnp.where(
-        en0 > 0, h_prev_en0m1 + u_at_en0 - QE, h_prev_0 + v_at_0 - QE
+        en0 > 0, h_prev_en0m1 + u_at_en0 - QE_, h_prev_0 + v_at_0 - QE_
     )
-    H1 = jnp.where(mask & (ti < en0), H + v_n - QE, H)
+    H1 = jnp.where(mask & (ti < en0), H + v_n - QE_, H)
     H1 = jnp.where(is_en0 & active, h_en0, H1)
     H1 = jnp.where(
-        (r == 0) & (ti == 0), v_n - QE - QE, H1
+        (r == 0) & (ti == 0), v_n - QE_ - QE_, H1
     )
     h_ref[:] = H1
 
@@ -177,14 +183,15 @@ def _kernel(
     best_ref[:, 3:4] = jnp.where(is_last, h_at_tl, best_ref[:, 3:4])
 
 
-@functools.partial(jax.jit, static_argnames=("with_dirs", "LQ"))
-def _run_pallas(qbuf, tgt, qlen, tlen, with_dirs, LQ):
+@functools.partial(jax.jit, static_argnames=("with_dirs", "LQ", "scores"))
+def _run_pallas(qbuf, tgt, qlen, tlen, with_dirs, LQ,
+                scores=(MATCH_SC, MIS_SC, GAP_OPEN, GAP_EXT)):
     B, T = tgt.shape
     LQplus = qbuf.shape[1]
     LT = T
     n_rows = LQ + LT - 1
     kern = functools.partial(
-        _kernel, T=T, LQ=LQ, LT=LT, with_dirs=with_dirs
+        _kernel, T=T, LQ=LQ, LT=LT, with_dirs=with_dirs, scores=scores
     )
     dirs_shape = (n_rows if with_dirs else 1, B, T)
     dirs, best = pl.pallas_call(
@@ -234,20 +241,36 @@ def _global_post(dirs, q, qlen, t, tlen, qle):
     )
 
 
-def extz_score_batch(q, qlen, t, tlen):
+DEFAULT_SCORES = (MATCH_SC, MIS_SC, GAP_OPEN, GAP_EXT)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _ops_post(dirs, qlen, tlen):
+    from .ksw2_jax import _backtrack_ops_one
+
+    max_steps = dirs.shape[0] + 1
+
+    def one(dirs_b, ql, tl):
+        return _backtrack_ops_one(dirs_b, ql, tl, max_steps)
+
+    return jax.vmap(one, in_axes=(1, 0, 0))(dirs, qlen, tlen)
+
+
+def extz_score_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES):
     """Pallas path of ksw2_jax.extz_score_batch: (max, max_t, max_q, score)."""
     qj = jnp.asarray(q, jnp.int32)
     tj = jnp.asarray(t, jnp.int32)
     qbuf = _make_qbuf(qj, tj.shape[1])
     _, best = _run_pallas(
         qbuf, tj, jnp.asarray(qlen, jnp.int32).reshape(-1, 1),
-        jnp.asarray(tlen, jnp.int32).reshape(-1, 1), False, int(qj.shape[1])
+        jnp.asarray(tlen, jnp.int32).reshape(-1, 1), False, int(qj.shape[1]),
+        tuple(scores),
     )
     best = np.asarray(best)
     return best[:, 0], best[:, 1], best[:, 2], best[:, 3]
 
 
-def extz_global_batch(q, qlen, t, tlen, q_left_ext=None):
+def extz_global_batch(q, qlen, t, tlen, q_left_ext=None, scores=DEFAULT_SCORES):
     """Pallas path of ksw2_jax.extz_global_batch: (score, iden_n, t_left_ext)."""
     B = q.shape[0]
     if q_left_ext is None:
@@ -259,10 +282,26 @@ def extz_global_batch(q, qlen, t, tlen, q_left_ext=None):
     tlenj = jnp.asarray(tlen, jnp.int32)
     dirs, best = _run_pallas(
         qbuf, tj, qlenj.reshape(-1, 1), tlenj.reshape(-1, 1), True,
-        int(qj.shape[1]),
+        int(qj.shape[1]), tuple(scores),
     )
     iden, tleft = _global_post(
         dirs, qj, qlenj, tj, tlenj, jnp.asarray(q_left_ext, jnp.int32)
     )
     best = np.asarray(best)
     return best[:, 3], np.asarray(iden), np.asarray(tleft)
+
+
+def extz_ops_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES):
+    """Pallas path of ksw2_jax.extz_ops_batch: (score, ops, n_steps)."""
+    qj = jnp.asarray(q, jnp.int32)
+    tj = jnp.asarray(t, jnp.int32)
+    qbuf = _make_qbuf(qj, tj.shape[1])
+    qlenj = jnp.asarray(qlen, jnp.int32)
+    tlenj = jnp.asarray(tlen, jnp.int32)
+    dirs, best = _run_pallas(
+        qbuf, tj, qlenj.reshape(-1, 1), tlenj.reshape(-1, 1), True,
+        int(qj.shape[1]), tuple(scores),
+    )
+    ops, n = _ops_post(dirs, qlenj, tlenj)
+    best = np.asarray(best)
+    return best[:, 3], np.asarray(ops), np.asarray(n)

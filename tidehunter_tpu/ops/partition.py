@@ -10,36 +10,35 @@ cigar (ksw2_backtrack_left_end). A rejected alignment (identity below
 (1-max_div)*min(len)) inserts a -1 separator and restarts coordinates, so a
 single chain can yield several TR regions.
 
-The batched TPU path runs the window alignments through the Pallas wavefront
-kernel bucketed by window length; the walk itself is host control flow.
+The walk itself is written once as a GENERATOR (partition_walk) that yields
+alignment requests ``(query, target, q_left_ext)`` and receives
+``(iden_n, t_left_ext)``. The host oracle wrapper resolves each request with
+ops/ksw2; the TPU engine drives many walks concurrently and resolves whole
+rounds of requests with one batched Pallas kernel call per length bucket.
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import Generator, List, Tuple
 
 import numpy as np
 
 from . import ksw2
 from .chaining import Chain, DpGrid
 
+AlignReq = Tuple[np.ndarray, np.ndarray, int]   # (query, target, q_left_ext)
+AlignRes = Tuple[int, int]                       # (iden_n, t_left_ext)
 
-def partition_positions(
+
+def partition_walk(
     bseq: np.ndarray,
     seq_len: int,
     dp: DpGrid,
     ch: Chain,
     k: int,
     max_div: float,
-    aligner=None,
-) -> List[int]:
-    """Returns par_pos, the ordered list of 0-based unit split points with -1
-    separators (reference src/partition.c:171-276).
-
-    `aligner(query, target) -> (iden_n, cigar)` defaults to the ksw2 oracle;
-    the TPU runner injects a batched device-backed implementation.
-    """
-    align = aligner if aligner is not None else ksw2.global_with_cigar
+) -> Generator[AlignReq, AlignRes, List[int]]:
+    """Generator form of the partition walk; returns par_pos."""
     est_ch_i = ch.est_ch_i
     est_start = ch.est_start
     est_period = ch.est_period
@@ -52,21 +51,22 @@ def partition_positions(
     while s >= first_end and ch_i > 0:
         s2, e2 = s, e
         for i in range(ch_i - 1, -1, -1):
-            d_start = int(dp.start[ch.cells[i]])
-            d_end = int(dp.end[ch.cells[i]])
-            s1, e1 = d_start, d_end
+            s1 = int(dp.start[ch.cells[i]])
+            e1 = int(dp.end[ch.cells[i]])
             if e1 == s:
                 par_pos.append(s1)
                 ch_i, s, e = i, s1, e1
                 break
             elif e1 < s:
                 # query = bseq[e1-k+1 .. e2] (len e2-e1+k), target likewise
-                iden_n, cigar = align(
-                    bseq[e1 - k + 1 : e2 + 1], bseq[s1 - k + 1 : s2 + 1]
+                iden_n, t_left = yield (
+                    bseq[e1 - k + 1 : e2 + 1],
+                    bseq[s1 - k + 1 : s2 + 1],
+                    e2 - s,
                 )
                 if iden_n >= min(s2 - s1 + k, e2 - e1 + k) * (1 - max_div):
                     e = s
-                    s = s2 - ksw2.backtrack_left_end(cigar, e2 - s)
+                    s = s2 - t_left
                     if e == s:  # no backtrack progress
                         ch_i = 0
                         break
@@ -90,20 +90,21 @@ def partition_positions(
     while ch_i < len(ch.cells) - 1 and e <= last_start:
         s1, e1 = s, e
         for i in range(ch_i + 1, len(ch.cells)):
-            d_start = int(dp.start[ch.cells[i]])
-            d_end = int(dp.end[ch.cells[i]])
-            s2, e2 = d_start, d_end
+            s2 = int(dp.start[ch.cells[i]])
+            e2 = int(dp.end[ch.cells[i]])
             if s2 == e:
                 par_pos.append(e2)
                 ch_i, s, e = i, s2, e2
                 break
             elif s2 > e:
-                iden_n, cigar = align(
-                    bseq[s1 - k + 1 : s2 + 1], bseq[e1 - k + 1 : e2 + 1]
+                iden_n, t_left = yield (
+                    bseq[s1 - k + 1 : s2 + 1],
+                    bseq[e1 - k + 1 : e2 + 1],
+                    s2 - e,
                 )
                 if iden_n >= min(s2 - s1 + k, e2 - e1 + k) * (1 - max_div):
                     s = e
-                    e = e2 - ksw2.backtrack_left_end(cigar, s2 - e)
+                    e = e2 - t_left
                     if e == s:
                         ch_i = len(ch.cells)
                         break
@@ -118,3 +119,31 @@ def partition_positions(
             else:
                 s1, e1 = s2, e2
     return par_pos
+
+
+def _oracle_align(req: AlignReq) -> AlignRes:
+    q, t, qle = req
+    iden_n, cigar = ksw2.global_with_cigar(q, t)
+    t_left = ksw2.backtrack_left_end(cigar, qle)
+    return iden_n, t_left
+
+
+def partition_positions(
+    bseq: np.ndarray,
+    seq_len: int,
+    dp: DpGrid,
+    ch: Chain,
+    k: int,
+    max_div: float,
+    aligner=None,
+) -> List[int]:
+    """Synchronous wrapper resolving requests with the NumPy oracle (or an
+    injected ``aligner(req) -> (iden_n, t_left_ext)``)."""
+    align = aligner if aligner is not None else _oracle_align
+    gen = partition_walk(bseq, seq_len, dp, ch, k, max_div)
+    try:
+        req = next(gen)
+        while True:
+            req = gen.send(align(req))
+    except StopIteration as stop:
+        return stop.value

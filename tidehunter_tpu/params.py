@@ -91,7 +91,9 @@ class Params:
     chunk_read_n: int = CHUNK_READ_N
     mesh_shape: Optional[tuple] = None   # data-parallel mesh, None = all devices
     read_bucket_sizes: tuple = (2048, 4096, 8192, 16384, 32768, 65536)
-    aln_bucket_sizes: tuple = (64, 128, 256, 512, 1024, 2048, 4096)
+    # alignment buckets: few, square, 128-multiples — each size is one
+    # Mosaic compile and the axon platform has no persistent compile cache
+    aln_bucket_sizes: tuple = (128, 640, 2048, 8192)
 
     @property
     def five_len(self) -> int:

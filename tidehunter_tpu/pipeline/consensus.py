@@ -25,14 +25,24 @@ from ..ops.myers import align_hw
 from ..ops.poa import msa_consensus, sigmoid_phred_qual
 
 
-def _poa_consensus(
-    bseq: np.ndarray,
-    seq_len: int,
-    pos: List[int],
-    mtp: Params,
-    want_qual: bool,
+def _msa_oracle(units: List[np.ndarray], mtp: Params):
+    """Host POA resolution of an ('msa', units) request."""
+    return msa_consensus(
+        units,
+        mtp.match,
+        mtp.mismatch,
+        mtp.gap_open1,
+        mtp.gap_ext1,
+        mtp.gap_open2,
+        mtp.gap_ext2,
+    )
+
+
+def _region_consensus_gen(
+    bseq: np.ndarray, seq_len: int, pos: List[int], mtp: Params, want_qual: bool
 ):
-    """abpoa_gen_cons equivalent (reference src/abpoa_cons.c:30-120).
+    """abpoa_gen_cons equivalent (reference src/abpoa_cons.c:30-120) as a
+    generator: yields an ('msa', units) request for n_seqs > 2.
 
     Returns (cons_bseq, cons_qual_or_None, n_seqs); cons length 0 = rejected.
     """
@@ -67,30 +77,26 @@ def _poa_consensus(
         qual = np.full(len(cons), 33, dtype=np.uint8) if want_qual else None
         return cons.copy(), qual, n_seqs
 
-    cons, cov = msa_consensus(
-        units,
-        mtp.match,
-        mtp.mismatch,
-        mtp.gap_open1,
-        mtp.gap_ext1,
-        mtp.gap_open2,
-        mtp.gap_ext2,
-    )
+    cons, cov = yield ("msa", units)
     if min_cov > 0 and (cov < min_cov).any():
         return np.zeros(0, dtype=np.uint8), None, n_seqs
     qual = sigmoid_phred_qual(cov, n_seqs) if want_qual else None
     return cons, qual, n_seqs
 
 
-def seqs_msa(
+def seqs_msa_gen(
     seq_len: int,
     bseq: np.ndarray,
     par_pos: List[int],
     result: TandemResult,
     mtp: Params,
-) -> None:
+):
     """Per-chain consensus over runs of partition positions
-    (reference src/gen_cons.c:173-301)."""
+    (reference src/gen_cons.c:173-301), as a generator yielding requests:
+      ('msa', units)        -> (cons, cov)
+      ('giden', q, t)       -> iden_n
+      ('ext', q, t)         -> (max_q, max_t)
+    """
     par_n = len(par_pos)
     want_qual = mtp.out_fmt in (FASTQ_FMT, TAB_QUAL_FMT)
     i = 0
@@ -105,17 +111,13 @@ def seqs_msa(
             if mtp.only_unit:
                 result.add_unit(par_pos[i:j])
             else:
-                cons, qual, n_seqs = _poa_consensus(
+                cons, qual, n_seqs = yield from _region_consensus_gen(
                     bseq, seq_len, par_pos[i:j], mtp, want_qual
                 )
                 cons_len = len(cons)
                 if cons_len == 0:
-                    # reference `continue` re-tests the same i and loops the
-                    # same run forever only if par_pos[i] >= 0 stays; it
-                    # actually falls through because `continue` skips the
-                    # i=j+1 update — but then re-enters with identical state
-                    # and 0 again; the C code relies on cons_len==0 being
-                    # rare and loops... we advance to avoid the hang.
+                    # the reference's `continue` here re-enters with identical
+                    # state (and with abPOA would loop forever); advance.
                     i = j + 1
                     continue
                 # aveMatch: global identity of each unit vs consensus
@@ -123,16 +125,17 @@ def seqs_msa(
                 for ki in range(i, j - 1):
                     start, end = par_pos[ki], par_pos[ki + 1]
                     length = end - start
-                    iden_n = ksw2.global_identity(
-                        bseq[start + 1 : end + 1], cons
-                    )
+                    iden_n = yield ("giden", bseq[start + 1 : end + 1], cons)
                     ave_match += iden_n * 100 / float(length)
-                # boundary extension (gen_cons.c:217-223)
+                # boundary extension (gen_cons.c:217-223); ksw2_left_ext
+                # reverses both sequences (src/ksw2_align.c:161-173)
                 copy_num = float(n_seqs)
-                max_q, max_t = ksw2.left_ext(cons, bseq[: par_pos[i] + 1])
+                max_q, max_t = yield (
+                    "ext", cons[::-1], bseq[: par_pos[i] + 1][::-1]
+                )
                 cons_start = par_pos[i] - max_t
                 copy_num += (max_q + 1.0) / cons_len
-                max_q, max_t = ksw2.right_ext(cons, bseq[par_pos[j - 1] + 1 :])
+                max_q, max_t = yield ("ext", cons, bseq[par_pos[j - 1] + 1 :])
                 cons_end = par_pos[j - 1] + max_t + 1
                 copy_num += (max_q + 1.0) / cons_len
 
@@ -166,6 +169,37 @@ def seqs_msa(
                     )
                     result.add_cons(rec, mtp)
         i = j + 1
+
+
+def resolve_oracle(req, mtp: Params):
+    """Resolve one consensus-stage request with the host oracle kernels."""
+    kind = req[0]
+    if kind == "msa":
+        return _msa_oracle(req[1], mtp)
+    if kind == "giden":
+        return ksw2.global_identity(req[1], req[2])
+    if kind == "ext":
+        # requests are pre-reversed for left extensions
+        res = ksw2.extz(req[1], req[2], score_only=True)
+        return res.max_q, res.max_t
+    raise ValueError(f"unknown request {kind}")
+
+
+def seqs_msa(
+    seq_len: int,
+    bseq: np.ndarray,
+    par_pos: List[int],
+    result: TandemResult,
+    mtp: Params,
+) -> None:
+    """Synchronous oracle wrapper around seqs_msa_gen."""
+    gen = seqs_msa_gen(seq_len, bseq, par_pos, result, mtp)
+    try:
+        req = next(gen)
+        while True:
+            req = gen.send(resolve_oracle(req, mtp))
+    except StopIteration:
+        pass
 
 
 def _full_length_trim(cons_seq: str, cons_qual, mtp: Params):
