@@ -210,16 +210,19 @@ def _drive(gens: List, resolver) -> None:
 
 
 class Engine:
-    def __init__(self, mtp: Params, platform: str = "tpu", msa_mode: str = "poa"):
-        """msa_mode: 'poa' = host POA oracle (abPOA-grade accuracy),
-        'star' = device star-MSA (faster, weaker on insertions — kept until
-        the profile-POA kernel lands)."""
+    def __init__(self, mtp: Params, platform: str = "tpu", msa_mode: str = "profile"):
+        """msa_mode: 'profile' = batched device profile-POA (bit-exact with
+        ops/poa_profile.py, matches or beats graph-POA accuracy),
+        'poa' = host oracles, 'star' = device star-MSA (legacy, weaker on
+        insertion recovery)."""
         self.mtp = mtp
         self.msa_mode = msa_mode
         self.aligner = BatchAligner(platform, mtp.aln_bucket_sizes)
         m = mtp
         self.poa_scores = (m.match, -m.mismatch, m.gap_open1, m.gap_ext1)
-        # the difference recurrence needs -min_sc <= 2*(gap_open+gap_ext)
+        # the star path's difference recurrence needs
+        # -min_sc <= 2*(gap_open+gap_ext); the profile kernel has no
+        # score constraints
         self.poa_on_device = (
             msa_mode == "star"
             and m.mismatch <= 2 * (m.gap_open1 + m.gap_ext1)
@@ -255,6 +258,8 @@ class Engine:
         return out
 
     def _resolve_msa(self, regions: List[List[np.ndarray]]):
+        if self.msa_mode == "profile":
+            return self._resolve_msa_profile(regions)
         if not self.poa_on_device:
             return [resolve_oracle(("msa", units), self.mtp) for units in regions]
         templates = [units[0].astype(np.uint8) for units in regions]
@@ -272,6 +277,64 @@ class Engine:
                 )
             templates = new_templates
         return cons
+
+    def _resolve_msa_profile(self, regions: List[List[np.ndarray]]):
+        """Batched device profile-POA: unit k of every region aligns to its
+        region's profile in one bucketed kernel round (ops/poa_pallas.py);
+        profile updates are vectorized host NumPy. Bit-exact with the host
+        reference (ops/poa_profile.py)."""
+        from .ops import poa_pallas
+        from .ops.poa_profile import Profile
+
+        m = self.mtp
+        profs = [Profile(np.asarray(units[0], np.int64)) for units in regions]
+        max_units = max(len(units) for units in regions)
+        for k in range(1, max_units):
+            live = [ri for ri, units in enumerate(regions) if k < len(units)]
+            if not live:
+                break
+            jobs = []
+            for ri in live:
+                prof = profs[ri]
+                u = np.asarray(regions[ri][k], np.uint8)
+                sub = prof.sub_scores(m.match, m.mismatch)
+                wdel = prof.del_weights(m.gap_ext1)
+                jobs.append((ri, u, sub, np.cumsum(wdel)))
+            # bucket by required (LQ, T)
+            groups: Dict[int, List[int]] = {}
+            oversize: List[int] = []
+            for gi, (ri, u, sub, W) in enumerate(jobs):
+                b = self.aligner._bucket(max(len(u), sub.shape[0]))
+                if b is None:
+                    oversize.append(gi)
+                else:
+                    groups.setdefault(b, []).append(gi)
+            for gi in oversize:
+                ri, u, sub, W = jobs[gi]
+                from .ops.poa_profile import align_to_profile
+
+                wdel = np.diff(np.concatenate(([0], W)))
+                ops = align_to_profile(
+                    u.astype(np.int64), sub, wdel, m.gap_open1, m.gap_ext1
+                )
+                profs[ri].update(u.astype(np.int64), ops)
+            for b, gis in groups.items():
+                cap = max(8, (CELL_CAP // b) // 8 * 8)
+                for lo in range(0, len(gis), cap):
+                    part = gis[lo : lo + cap]
+                    ops_list = poa_pallas.align_batch(
+                        [jobs[gi][1] for gi in part],
+                        [jobs[gi][2] for gi in part],
+                        [jobs[gi][3] for gi in part],
+                        LQ=b,
+                        T=b,
+                        gap_open=m.gap_open1,
+                        gap_ext=m.gap_ext1,
+                    )
+                    for gi, ops in zip(part, ops_list):
+                        ri, u, _, _ = jobs[gi]
+                        profs[ri].update(u.astype(np.int64), ops)
+        return [prof.consensus() for prof in profs]
 
     # --- chunk processing ---
 

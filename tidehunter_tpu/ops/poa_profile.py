@@ -1,0 +1,213 @@
+"""Profile-POA consensus: the TPU-native reformulation of abPOA.
+
+Instead of a partial-order GRAPH grown per unit (host oracle, ops/poa.py),
+the MSA state is a column PROFILE: per column, base counts and occupancy.
+Each unit is aligned to the profile with an affine-gap Gotoh DP whose
+per-column scores encode what the POA graph encodes structurally:
+
+  * substitution vs column c = occupancy-averaged vote of the units placed
+    there (a fresh inserted column scores like a normal base for the unit
+    that introduced it)
+  * deleting column c costs gap_ext scaled by occ[c]/n_placed — skipping a
+    column most units skip is nearly free, exactly like taking the bypass
+    edge in the POA graph
+  * insertions open new columns, so later units can support them in place
+    (this is what fixes the star-MSA's insertion-vote splitting)
+
+All quantities are fixed-point ints (SCALE) so the device kernel
+(ops/poa_pallas.py) matches this reference bit-for-bit. The per-row
+recurrence is scan-friendly: M and I are elementwise; the weighted deletion
+track is F[c] = cummax(G[c'] + W[c'])_{c'<c} - O - W[c] with W = prefix sums
+of the column weights — one cummax per row on device.
+
+Consensus rule (abPOA RC contract, reference src/abpoa_cons.c): majority
+base per column, column dropped when gaps outnumber the best base,
+coverage = count of units with the consensus base.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+SCALE = 16
+NEG = -(1 << 30)
+
+
+class Profile:
+    def __init__(self, unit: np.ndarray):
+        n = len(unit)
+        self.counts = np.zeros((n, 5), np.int64)
+        self.counts[np.arange(n), unit] = 1
+        self.n_placed = 1
+
+    @property
+    def ncol(self) -> int:
+        return self.counts.shape[0]
+
+    def occ(self) -> np.ndarray:
+        return self.counts.sum(axis=1)
+
+    def sub_scores(self, match: int, mismatch: int) -> np.ndarray:
+        """[ncol, 5] fixed-point substitution scores (occupancy-averaged)."""
+        occ = np.maximum(self.occ(), 1)[:, None]
+        raw = SCALE * (
+            (match + mismatch) * self.counts - mismatch * occ
+        )
+        return raw // occ  # match*cnt - mismatch*(occ-cnt), averaged
+
+    def del_weights(self, gap_ext: int) -> np.ndarray:
+        """[ncol] fixed-point per-column deletion extension cost."""
+        occ = self.occ()
+        return (SCALE * gap_ext * occ) // self.n_placed
+
+    def update(self, unit: np.ndarray, ops: List[Tuple[str, int, int]]) -> None:
+        """Apply an alignment path: ops = [(kind, col, qpos)] left-to-right,
+        kind 'M' (unit[qpos] at column col), 'D' (column skipped),
+        'I' (unit[qpos] inserted after column col; col = -1 for front)."""
+        # group insertions to build the new column layout in one pass
+        ins_after: dict = {}
+        for kind, col, qpos in ops:
+            if kind == "I":
+                ins_after.setdefault(col, []).append(qpos)
+        if ins_after:
+            old = self.counts
+            ncol_new = old.shape[0] + sum(len(v) for v in ins_after.values())
+            new = np.zeros((ncol_new, 5), np.int64)
+            remap = np.zeros(old.shape[0], np.int64)
+            w = 0
+            for front_q in ins_after.get(-1, []):
+                new[w, unit[front_q]] = 1
+                w += 1
+            for c in range(old.shape[0]):
+                new[w] = old[c]
+                remap[c] = w
+                w += 1
+                for q in ins_after.get(c, []):
+                    new[w, unit[q]] = 1
+                    w += 1
+            self.counts = new
+        else:
+            remap = np.arange(self.counts.shape[0])
+        for kind, col, qpos in ops:
+            if kind == "M":
+                self.counts[remap[col], unit[qpos]] += 1
+        self.n_placed += 1
+
+    def consensus(self) -> Tuple[np.ndarray, np.ndarray]:
+        best = self.counts.argmax(axis=1)
+        ncol = self.counts.shape[0]
+        bc = self.counts[np.arange(ncol), best]
+        gaps = self.n_placed - self.counts.sum(axis=1)
+        keep = bc > gaps
+        return best[keep].astype(np.uint8), bc[keep].astype(np.int64)
+
+
+def align_to_profile(
+    unit: np.ndarray,
+    sub: np.ndarray,       # [T, 5] fixed-point substitution scores
+    wdel: np.ndarray,      # [T] fixed-point deletion extension costs
+    gap_open: int,
+    gap_ext: int,
+) -> List[Tuple[str, int, int]]:
+    """Gotoh DP of unit vs profile; returns the op path for Profile.update.
+
+    Insertion costs are uniform fixed-point (SCALE*(open + g*ext)); the
+    deletion track uses per-column weights via the prefix-sum trick.
+    """
+    T = len(wdel)
+    Lq = len(unit)
+    O_i = SCALE * gap_open
+    E_i = SCALE * gap_ext
+    O_d = SCALE * gap_open
+    W = np.concatenate(([0], np.cumsum(wdel)))  # W[c] = cost of cols 1..c
+
+    if Lq == 0:
+        return [("D", c, -1) for c in range(T)]
+
+    # H[j][c], c in 0..T; row-major over j
+    H = np.empty((Lq + 1, T + 1), np.int64)
+    E = np.full(T + 1, NEG, np.int64)  # insertion track (consumes unit)
+    bt = np.zeros((Lq + 1, T + 1), np.uint8)  # bits 0-1: 0=M 1=I 2=D; bit 2: I-cont
+    fopen = np.zeros((Lq + 1, T + 1), np.int64)  # D-run opener column
+    H[0] = -(O_d + W)
+    H[0, 0] = 0
+    for j in range(1, Lq + 1):
+        s = sub[:, unit[j - 1]]
+        M = H[j - 1, :-1] + s
+        e_open = H[j - 1] - O_i - E_i
+        e_cont = E - E_i
+        E = np.maximum(e_open, e_cont)
+        icont = e_cont > e_open
+        G = np.maximum(M, E[1:])           # best non-D at c = 1..T
+        keyed = np.concatenate(([E[0]], G)) + W  # openers G[c'] + W[c']
+        run = np.maximum.accumulate(keyed)
+        # first-occurrence argmax (ties -> earliest opener), matching the
+        # device kernel's F-continuation tie rule (ops/poa_pallas.py)
+        prev_run = np.concatenate(([NEG], run[:-1]))
+        is_new = keyed > prev_run
+        idx = np.where(is_new, np.arange(T + 1), -1)
+        run_arg = np.maximum.accumulate(idx)
+        F = np.full(T + 1, NEG, np.int64)
+        F[1:] = run[:-1] - O_d - W[1:]
+        Hrow = np.empty(T + 1, np.int64)
+        Hrow[0] = -(O_i + j * E_i)
+        Hrow[1:] = np.maximum(G, F[1:])
+        # states: ties prefer M, then I, then D
+        st = np.zeros(T + 1, np.uint8)
+        st[1:] = np.where(F[1:] > G, 2, np.where(E[1:] > M, 1, 0))
+        st[0] = 1
+        bt[j] = st | (icont.astype(np.uint8) << 2)
+        fopen[j] = np.concatenate(([0], run_arg[:-1]))
+        H[j] = Hrow
+
+    # backtrack
+    ops: List[Tuple[str, int, int]] = []
+    j, c = Lq, T
+    state = 0  # interpret from bt
+    while j > 0 or c > 0:
+        if j == 0:
+            ops.append(("D", c - 1, -1))
+            c -= 1
+            continue
+        if c == 0:
+            ops.append(("I", -1, j - 1))
+            j -= 1
+            continue
+        s = bt[j, c] & 3
+        if s == 0:  # M
+            ops.append(("M", c - 1, j - 1))
+            j -= 1
+            c -= 1
+        elif s == 1:  # I run: walk while continuation
+            ops.append(("I", c - 1, j - 1))
+            j -= 1
+            while j > 0 and (bt[j + 1, c] >> 2) & 1:
+                ops.append(("I", c - 1, j - 1))
+                j -= 1
+        else:  # D run to the opener column
+            c_open = int(fopen[j, c])
+            while c > c_open:
+                ops.append(("D", c - 1, -1))
+                c -= 1
+    ops.reverse()
+    return ops
+
+
+def profile_consensus(
+    units: List[np.ndarray],
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_ext: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sequential profile-POA over the units (host reference)."""
+    prof = Profile(np.asarray(units[0], np.int64))
+    for u in units[1:]:
+        u = np.asarray(u, np.int64)
+        sub = prof.sub_scores(match, mismatch)
+        wdel = prof.del_weights(gap_ext)
+        ops = align_to_profile(u, sub, wdel, gap_open, gap_ext)
+        prof.update(u, ops)
+    return prof.consensus()

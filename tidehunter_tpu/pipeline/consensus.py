@@ -26,15 +26,25 @@ from ..ops.poa import msa_consensus, sigmoid_phred_qual
 
 
 def _msa_oracle(units: List[np.ndarray], mtp: Params):
-    """Host POA resolution of an ('msa', units) request."""
-    return msa_consensus(
-        units,
-        mtp.match,
-        mtp.mismatch,
-        mtp.gap_open1,
-        mtp.gap_ext1,
-        mtp.gap_open2,
-        mtp.gap_ext2,
+    """Host resolution of an ('msa', units) request: profile-POA (matches or
+    beats the graph-POA oracle on simulated accuracy; see ops/poa_profile.py).
+    Set TH_MSA=graph to use the graph-POA (ops/poa.py) instead."""
+    import os
+
+    if os.environ.get("TH_MSA") == "graph":
+        return msa_consensus(
+            units,
+            mtp.match,
+            mtp.mismatch,
+            mtp.gap_open1,
+            mtp.gap_ext1,
+            mtp.gap_open2,
+            mtp.gap_ext2,
+        )
+    from ..ops.poa_profile import profile_consensus
+
+    return profile_consensus(
+        units, mtp.match, mtp.mismatch, mtp.gap_open1, mtp.gap_ext1
     )
 
 
