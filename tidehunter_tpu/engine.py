@@ -52,6 +52,13 @@ CELL_CAP = 160_000
 MSA_ROUNDS = 2
 
 
+def fixed_batch_size(bucket: int) -> int:
+    """One batch shape per bucket: every kernel call pads to exactly this B,
+    so each (bucket, variant) compiles once per process (the axon platform
+    has no persistent compilation cache — recompiles cost ~0.5s each)."""
+    return max(8, (CELL_CAP // bucket) // 8 * 8)
+
+
 def _enable_compile_cache() -> None:
     try:
         import jax
@@ -103,8 +110,7 @@ class BatchAligner:
 
     @staticmethod
     def _pad(reqs, idxs, LQ, LT, qi=0, ti=1):
-        n = len(idxs)
-        B = ((n + 7) // 8) * 8
+        B = fixed_batch_size(max(LQ, LT))
         q = np.full((B, LQ), 4, np.uint8)
         t = np.full((B, LT), 4, np.uint8)
         qlen = np.ones(B, np.int32)
@@ -118,31 +124,36 @@ class BatchAligner:
         return q, qlen, t, tlen
 
     def _sub_batches(self, idxs, LQ, LT):
-        cap = max(8, (CELL_CAP // max(LQ, LT)) // 8 * 8)
+        cap = fixed_batch_size(max(LQ, LT))
         for i in range(0, len(idxs), cap):
             yield idxs[i : i + cap]
 
     def run_global(self, reqs, scores=KSW2_SCORES):
-        """reqs: [(q, t, qle)] -> [(iden_n, t_left_ext)]"""
+        """reqs: [(q, t, qle)] -> [(iden_n, t_left_ext)].
+
+        Two-phase: all device calls are dispatched (JAX is async) before the
+        first result is pulled, so kernels queue back-to-back on the chip."""
         out: List = [None] * len(reqs)
         groups, host = self._grouped(reqs)
         for i in host:
             q, t, qle = reqs[i]
             iden, cig = ksw2.global_with_cigar(q, t)
             out[i] = (iden, ksw2.backtrack_left_end(cig, qle))
+        launched = []
         for (LQ, LT), idxs in groups.items():
             for sub in self._sub_batches(idxs, LQ, LT):
                 q, qlen, t, tlen = self._pad(reqs, sub, LQ, LT)
-                qle = np.array(
-                    [max(0, reqs[i][2]) for i in sub]
-                    + [0] * (len(qlen) - len(sub)),
-                    np.int32,
-                )
-                _, iden, tleft = self.kmod.extz_global_batch(
-                    q, qlen, t, tlen, qle, scores
-                )
+                qle = np.zeros(len(qlen), np.int32)
                 for row, i in enumerate(sub):
-                    out[i] = (int(iden[row]), int(tleft[row]))
+                    qle[row] = max(0, reqs[i][2])
+                launched.append(
+                    (sub, self.kmod.extz_global_batch(q, qlen, t, tlen, qle, scores))
+                )
+        for sub, (_, iden, tleft) in launched:
+            iden = np.asarray(iden)
+            tleft = np.asarray(tleft)
+            for row, i in enumerate(sub):
+                out[i] = (int(iden[row]), int(tleft[row]))
         return out
 
     def run_giden(self, reqs, scores=KSW2_SCORES):
@@ -157,12 +168,18 @@ class BatchAligner:
         for i in host:
             r = ksw2.extz(reqs[i][0], reqs[i][1], score_only=True)
             out[i] = (r.max_q, r.max_t)
+        launched = []
         for (LQ, LT), idxs in groups.items():
             for sub in self._sub_batches(idxs, LQ, LT):
                 q, qlen, t, tlen = self._pad(reqs, sub, LQ, LT)
-                _, mt, mq, _ = self.kmod.extz_score_batch(q, qlen, t, tlen, scores)
-                for row, i in enumerate(sub):
-                    out[i] = (int(mq[row]), int(mt[row]))
+                launched.append(
+                    (sub, self.kmod.extz_score_batch(q, qlen, t, tlen, scores))
+                )
+        for sub, (_, mt, mq, _sc) in launched:
+            mt = np.asarray(mt)
+            mq = np.asarray(mq)
+            for row, i in enumerate(sub):
+                out[i] = (int(mq[row]), int(mt[row]))
         return out
 
     def run_ops(self, reqs, scores):
@@ -178,12 +195,18 @@ class BatchAligner:
                 code = 0 if op == 0 else (1 if op == 2 else 2)
                 ops.extend([code] * length)
             out[i] = (np.array(ops, np.int8), len(ops))
+        launched = []
         for (LQ, LT), idxs in groups.items():
             for sub in self._sub_batches(idxs, LQ, LT):
                 q, qlen, t, tlen = self._pad(reqs, sub, LQ, LT)
-                _, ops, n = self.kmod.extz_ops_batch(q, qlen, t, tlen, scores)
-                for row, i in enumerate(sub):
-                    out[i] = (ops[row], int(n[row]))
+                launched.append(
+                    (sub, self.kmod.extz_ops_batch(q, qlen, t, tlen, scores))
+                )
+        for sub, (_, ops, n) in launched:
+            ops = np.asarray(ops)
+            n = np.asarray(n)
+            for row, i in enumerate(sub):
+                out[i] = (ops[row], int(n[row]))
         return out
 
 
@@ -319,10 +342,10 @@ class Engine:
                 )
                 profs[ri].update(u.astype(np.int64), ops)
             for b, gis in groups.items():
-                cap = max(8, (CELL_CAP // b) // 8 * 8)
+                cap = fixed_batch_size(b)
                 for lo in range(0, len(gis), cap):
                     part = gis[lo : lo + cap]
-                    ops_list = poa_pallas.align_batch(
+                    paths = poa_pallas.align_batch(
                         [jobs[gi][1] for gi in part],
                         [jobs[gi][2] for gi in part],
                         [jobs[gi][3] for gi in part],
@@ -330,10 +353,13 @@ class Engine:
                         T=b,
                         gap_open=m.gap_open1,
                         gap_ext=m.gap_ext1,
+                        B=cap,
                     )
-                    for gi, ops in zip(part, ops_list):
+                    for gi, (ops, cols, qpos) in zip(part, paths):
                         ri, u, _, _ = jobs[gi]
-                        profs[ri].update(u.astype(np.int64), ops)
+                        profs[ri].update_arrays(
+                            u.astype(np.int64), ops, cols, qpos
+                        )
         return [prof.consensus() for prof in profs]
 
     # --- chunk processing ---

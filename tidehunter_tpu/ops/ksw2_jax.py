@@ -307,12 +307,7 @@ def extz_score_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES):
         jnp.asarray(q), jnp.asarray(qlen, jnp.int32), jnp.asarray(t),
         jnp.asarray(tlen, jnp.int32), n_rows, tuple(scores)
     )
-    return (
-        np.asarray(bmax),
-        np.asarray(bmax_t),
-        np.asarray(bmax_q),
-        np.asarray(bscore),
-    )
+    return bmax, bmax_t, bmax_q, bscore  # JAX arrays (async); caller syncs
 
 
 def extz_global_batch(q, qlen, t, tlen, q_left_ext=None, scores=DEFAULT_SCORES):
@@ -327,7 +322,7 @@ def extz_global_batch(q, qlen, t, tlen, q_left_ext=None, scores=DEFAULT_SCORES):
         jnp.asarray(tlen, jnp.int32), jnp.asarray(q_left_ext, jnp.int32),
         n_rows, tuple(scores),
     )
-    return np.asarray(score), np.asarray(iden), np.asarray(tleft)
+    return score, iden, tleft  # JAX arrays (async); caller syncs
 
 
 def extz_ops_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES):
@@ -340,4 +335,4 @@ def extz_ops_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES):
         jnp.asarray(q), jnp.asarray(qlen, jnp.int32), jnp.asarray(t),
         jnp.asarray(tlen, jnp.int32), n_rows, tuple(scores),
     )
-    return np.asarray(score), np.asarray(ops), np.asarray(n)
+    return score, ops, n  # JAX arrays (async); caller syncs

@@ -266,7 +266,6 @@ def extz_score_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES):
         jnp.asarray(tlen, jnp.int32).reshape(-1, 1), False, int(qj.shape[1]),
         tuple(scores),
     )
-    best = np.asarray(best)
     return best[:, 0], best[:, 1], best[:, 2], best[:, 3]
 
 
@@ -287,8 +286,7 @@ def extz_global_batch(q, qlen, t, tlen, q_left_ext=None, scores=DEFAULT_SCORES):
     iden, tleft = _global_post(
         dirs, qj, qlenj, tj, tlenj, jnp.asarray(q_left_ext, jnp.int32)
     )
-    best = np.asarray(best)
-    return best[:, 3], np.asarray(iden), np.asarray(tleft)
+    return best[:, 3], iden, tleft  # JAX arrays (async); caller syncs
 
 
 def extz_ops_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES):
@@ -303,5 +301,4 @@ def extz_ops_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES):
         int(qj.shape[1]), tuple(scores),
     )
     ops, n = _ops_post(dirs, qlenj, tlenj)
-    best = np.asarray(best)
-    return best[:, 3], np.asarray(ops), np.asarray(n)
+    return best[:, 3], ops, n  # JAX arrays (async); caller syncs

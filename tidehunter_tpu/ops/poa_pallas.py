@@ -226,10 +226,13 @@ def align_batch(
     T: int,
     gap_open: int,
     gap_ext: int,
+    B: int = 0,
 ):
-    """Align each unit to its profile scores; returns per-problem op lists
-    [(kind, col, qpos)] matching ops/poa_profile.align_to_profile."""
-    B = ((len(units) + 7) // 8) * 8
+    """Align each unit to its profile scores; returns per-problem
+    (ops, cols, qpos) arrays for Profile.update_arrays.
+    B fixes the padded batch shape (0 = round len(units) up to 8)."""
+    if B <= 0:
+        B = ((len(units) + 7) // 8) * 8
     rows = ((LQ + 127) // 128) * 128
     qbuf = np.full((B, rows + 256), 4, np.int32)
     sub = np.full((B, 5, T), -SCALE * 64, np.int32)
@@ -265,20 +268,11 @@ def align_batch(
 
 
 def _ops_to_path(ops_rl: np.ndarray, n: int):
-    """Right-to-left op codes -> [(kind, col, qpos)] left-to-right."""
-    ops = ops_rl[:n][::-1]
-    path = []
-    c = -1  # last consumed column (0-based)
-    q = 0
-    for op in ops:
-        if op == OP_M:
-            c += 1
-            path.append(("M", c, q))
-            q += 1
-        elif op == OP_D:
-            c += 1
-            path.append(("D", c, -1))
-        else:
-            path.append(("I", c, q))
-            q += 1
-    return path
+    """Right-to-left op codes -> vectorized (kinds, cols, qpos) arrays in
+    left-to-right order (consumed by Profile.update_arrays)."""
+    ops = ops_rl[:n][::-1].astype(np.int64)
+    consumes_c = ops != OP_I
+    consumes_q = ops != OP_D
+    cols = np.cumsum(consumes_c) - 1  # for I ops: last consumed column
+    qpos = np.cumsum(consumes_q) - 1
+    return ops, cols, qpos

@@ -62,7 +62,26 @@ class Profile:
         occ = self.occ()
         return (SCALE * gap_ext * occ) // self.n_placed
 
-    def update(self, unit: np.ndarray, ops: List[Tuple[str, int, int]]) -> None:
+    def update_arrays(
+        self, unit: np.ndarray, ops: np.ndarray, cols: np.ndarray, qpos: np.ndarray
+    ) -> None:
+        """Vectorized update from op-code arrays (0=M 1=I 2=D, left-to-right).
+
+        A global alignment path consumes every profile column exactly once
+        (M/D) and every I step opens a new column, so the new column layout
+        IS the step sequence — one gather of old columns plus one scatter of
+        the unit's bases."""
+        n_steps = len(ops)
+        new = np.zeros((n_steps, 5), np.int64)
+        step_idx = np.arange(n_steps)
+        old = ops != 1  # M or D: carries an existing column
+        new[step_idx[old]] = self.counts[cols[old]]
+        has_base = ops != 2  # M or I: the unit contributes a base
+        new[step_idx[has_base], unit[qpos[has_base]]] += 1
+        self.counts = new
+        self.n_placed += 1
+
+    def update(self, unit: np.ndarray, ops) -> None:
         """Apply an alignment path: ops = [(kind, col, qpos)] left-to-right,
         kind 'M' (unit[qpos] at column col), 'D' (column skipped),
         'I' (unit[qpos] inserted after column col; col = -1 for front)."""
