@@ -47,7 +47,7 @@ def synth_read(rng, unit_len=450, copies=9, err=0.10, flank=150):
 
 
 def main() -> int:
-    n_reads = int(os.environ.get("BENCH_READS", "32"))
+    n_reads = int(os.environ.get("BENCH_READS", "512"))
     n_base = int(os.environ.get("BENCH_BASELINE_READS", "3"))
 
     from tidehunter_tpu.io.fastx import FastxRecord
@@ -65,8 +65,9 @@ def main() -> int:
     mtp = Params()
     process_chunk = make_engine(mtp, platform="tpu")
 
-    # warmup: pays all kernel compiles (no persistent cache on this platform)
-    process_chunk(reads[:2], mtp)
+    # warmup: pays all kernel compiles AND warms the device RPC path — the
+    # axon tunnel's first ~10 dispatch rounds carry connection-setup latency
+    process_chunk(reads[: min(32, n_reads)], mtp)
 
     sink = io.StringIO()
     t0 = time.perf_counter()

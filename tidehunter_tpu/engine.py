@@ -81,10 +81,16 @@ class BatchAligner:
         _enable_compile_cache()
         self.buckets = sorted(buckets)
         backend = jax.default_backend()
-        if platform == "tpu" and backend == "tpu":
+        self.use_wavefront = platform == "tpu" and backend == "tpu"
+        if self.use_wavefront:
             from .ops import ksw2_pallas as kmod
+            from .ops import wavefront
+
+            self.wf = wavefront
         else:
             from .ops import ksw2_jax as kmod
+
+            self.wf = None
         self.kmod = kmod
         self.max_len = self.buckets[-1]
 
@@ -109,8 +115,8 @@ class BatchAligner:
         return groups, host
 
     @staticmethod
-    def _pad(reqs, idxs, LQ, LT, qi=0, ti=1):
-        B = fixed_batch_size(max(LQ, LT))
+    def _pad(reqs, idxs, LQ, LT, qi=0, ti=1, exact=False):
+        B = len(idxs) if exact else fixed_batch_size(max(LQ, LT))
         q = np.full((B, LQ), 4, np.uint8)
         t = np.full((B, LT), 4, np.uint8)
         qlen = np.ones(B, np.int32)
@@ -131,14 +137,36 @@ class BatchAligner:
     def run_global(self, reqs, scores=KSW2_SCORES):
         """reqs: [(q, t, qle)] -> [(iden_n, t_left_ext)].
 
-        Two-phase: all device calls are dispatched (JAX is async) before the
-        first result is pulled, so kernels queue back-to-back on the chip."""
+        One wavefront kernel call per length bucket (any batch size), all
+        buckets' results concatenated ON DEVICE and pulled in a single
+        host transfer — round trips cost ~25 ms on this platform."""
         out: List = [None] * len(reqs)
         groups, host = self._grouped(reqs)
         for i in host:
             q, t, qle = reqs[i]
             iden, cig = ksw2.global_with_cigar(q, t)
             out[i] = (iden, ksw2.backtrack_left_end(cig, qle))
+        if self.use_wavefront:
+            import jax.numpy as jnp
+
+            launched = []
+            order: List[int] = []
+            for (LQ, LT), idxs in groups.items():
+                q, qlen, t, tlen = self._pad(reqs, idxs, LQ, LT, exact=True)
+                qle = np.zeros(len(idxs), np.int32)
+                for row, i in enumerate(idxs):
+                    qle[row] = max(0, reqs[i][2])
+                iden, tleft = self.wf.global_batch(q, qlen, t, tlen, qle, scores)
+                launched.append(jnp.stack([iden, tleft], axis=1))
+                order.extend(idxs)
+            if launched:
+                res = np.asarray(
+                    launched[0] if len(launched) == 1
+                    else jnp.concatenate(launched, axis=0)
+                )
+                for row, i in enumerate(order):
+                    out[i] = (int(res[row, 0]), int(res[row, 1]))
+            return out
         launched = []
         for (LQ, LT), idxs in groups.items():
             for sub in self._sub_batches(idxs, LQ, LT):
@@ -168,6 +196,24 @@ class BatchAligner:
         for i in host:
             r = ksw2.extz(reqs[i][0], reqs[i][1], score_only=True)
             out[i] = (r.max_q, r.max_t)
+        if self.use_wavefront:
+            import jax.numpy as jnp
+
+            launched = []
+            order: List[int] = []
+            for (LQ, LT), idxs in groups.items():
+                q, qlen, t, tlen = self._pad(reqs, idxs, LQ, LT, exact=True)
+                _mx, mt, mq, _sc = self.wf.ext_batch(q, qlen, t, tlen, scores)
+                launched.append(jnp.stack([mq, mt], axis=1))
+                order.extend(idxs)
+            if launched:
+                res = np.asarray(
+                    launched[0] if len(launched) == 1
+                    else jnp.concatenate(launched, axis=0)
+                )
+                for row, i in enumerate(order):
+                    out[i] = (int(res[row, 0]), int(res[row, 1]))
+            return out
         launched = []
         for (LQ, LT), idxs in groups.items():
             for sub in self._sub_batches(idxs, LQ, LT):

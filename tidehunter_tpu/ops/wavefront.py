@@ -1,0 +1,474 @@
+"""Wavefront affine-gap DP, kernel family v2 (Pallas TPU).
+
+Same recurrence and tie-break semantics as the NumPy oracle ops/ksw2.py
+(the reference's ksw2/ksw2_extz2_sse.c evaluated exactly), engineered for
+the platform's cost model: host<->device round trips cost ~25 ms each, so
+one call must process an arbitrarily large batch and return only a few
+words per problem.
+
+Design rules learned from kernel v1 (ops/ksw2_pallas.py):
+
+* **No cross-lane reductions inside the row loop.** Every jnp.sum/max over
+  the [BT, T] lane axis costs more than the whole elementwise row update;
+  v1 spent ~80% of its time in one-hot extractions and the row-max scan.
+  v2 keeps the row loop purely elementwise (rolls + selects); everything
+  that needs a reduction goes through full-width accumulators that XLA
+  reduces once per call.
+* **Batch-tiled grid** ``(NB, n_rows/K)``: one pallas_call handles any B.
+* **Forward-carried backtrack annotations**: the 'global' variant carries
+  (iden_n, t_left_ext) through the DP — for each cell and each backtrack
+  entry state (H, E-run, F-run) it propagates the annotation of the path
+  the reference backtracker (ksw2/ksw2.h:119-152, is_rot=1) would walk if
+  it entered that cell in that state. The direction decisions d/bit08/bit10
+  are mirrored forward instead of stored, so the O(n_rows*B*T) direction
+  tensor and the backtrack pass disappear: output is [B] iden + [B] tleft.
+* The 'ext' variant reproduces the exact 32-bit H row-max scan semantics
+  (SIMD tie order of ksw2_extz2_sse.c:224-260) via per-lane (bestH, bestR)
+  accumulators + a post-pass: bestR[t] = first row where lane t reached
+  bestH[t]; the winning row r* = min bestR among bestH == max, and the
+  in-row tie order (en0 first, then the 4-lane scan, then the remainder)
+  is reapplied analytically for row r*.
+
+Annotation correctness: A_s(c) = annotation of the backtrack suffix from
+cell c entered in state s:
+  A0(c) = d==0 ? A0(i-1,j-1)+M(c) : d==1 ? A1(i-1,j) : A2(i,j-1)+I(c)
+  A1(c) = bit08(c) ? A1(i-1,j) : A0(c)      (D steps carry no annotation)
+  A2(c) = bit10(c) ? A2(i,j-1)+I(c) : A0(c)
+M(c) adds identity when q[j]==t[i]; the t_left projection is set by the
+step consuming query index qlen-max(qle,1) (ops/ksw2.backtrack_left_end:
+an M run returns t_left + q_remain — including the exhausting base's
+target — while an I run returns t_left without it; qle==0 stops at the
+last query-consuming step, excluding its target).  Tail cigar runs
+(ksw2.h boundary pushes) enter as out-of-grid boundary values.  iden and
+tleft pack into one int32 lane (iden << 14 | tleft+1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ksw2 import GAP_EXT, GAP_OPEN, MATCH_SC, MIS_SC
+
+NEG_INF32 = -(1 << 30)
+DEFAULT_SCORES = (MATCH_SC, MIS_SC, GAP_OPEN, GAP_EXT)
+
+TLB = 14                      # t_left field width (tl+1; 0 = unset)
+TLMASK = (1 << TLB) - 1
+
+# VMEM cell budget per tile (scratch+accumulator buffers * BT * T * 4B)
+_TILE_CELLS = 64 * 1024
+
+
+def tile_b(T: int) -> int:
+    return max(8, (_TILE_CELLS // max(T, 128)) // 8 * 8)
+
+
+def _roll1(arr):
+    return pltpu.roll(arr, 1, 1)
+
+
+def _dp_row(refs, qb, tb, r, qlen, tlen, ti, scores):
+    """One wavefront row of the Suzuki-Kasahara difference recurrence.
+    Purely elementwise. Returns (mask, d, bit08, bit10, u_new, v_new)."""
+    MATCH, MIS, GO, GE = scores
+    SCN = -GE
+    QE_ = GO + GE
+    QE2_ = 2 * QE_
+    MAXSC = MATCH + QE2_
+
+    u_ref, v_ref, x_ref, y_ref = refs
+    st0 = jnp.maximum(0, r - qlen + 1)
+    en0 = jnp.minimum(tlen - 1, r)
+    active = r < qlen + tlen - 1
+    mask = (ti >= st0) & (ti <= en0) & active
+
+    is_n = (tb == 4) | (qb == 4)
+    s = jnp.where(is_n, SCN, jnp.where(tb == qb, MATCH, MIS))
+
+    bq = jnp.where(r > 0, GO, 0).astype(jnp.int32)
+    u_p = u_ref[:]
+    v_p = v_ref[:]
+    x_p = x_ref[:]
+    y_p = y_ref[:]
+    is_r = ti == r
+    y_b = jnp.where(is_r, 0, y_p)
+    u_b = jnp.where(is_r, bq, u_p)
+    x_sh = jnp.where(ti == 0, 0, _roll1(x_p))
+    v_sh = jnp.where(ti == 0, bq, _roll1(v_p))
+
+    a = x_sh + v_sh
+    b = y_b + u_b
+    z = s + QE2_
+    d = (a > z).astype(jnp.int32)
+    z = jnp.maximum(z, a)
+    d = jnp.where(b > z, 2, d)
+    z = jnp.maximum(z, b)
+    z = jnp.minimum(z, MAXSC)
+    u_new = z - v_sh
+    v_new = z - u_b
+    z2 = z - GO
+    a2 = a - z2
+    b2 = b - z2
+    bit08 = a2 > 0
+    bit10 = b2 > 0
+
+    u_ref[:] = jnp.where(mask, u_new, u_p)
+    v_ref[:] = jnp.where(mask, v_new, v_p)
+    x_ref[:] = jnp.where(mask, jnp.maximum(a2, 0), x_p)
+    y_ref[:] = jnp.where(mask, jnp.maximum(b2, 0), y_p)
+    return mask, d, bit08, bit10, u_new, v_new
+
+
+def _qrow(qbuf_ref, qrr_ref, r, ti, B):
+    """q[r-t] per lane: shift the diagonal window right by one and insert
+    q[b, r] at lane 0 (128-aligned window load + one-hot extract)."""
+    r_al = pl.multiple_of(r // 128 * 128, 128)
+    qwin = qbuf_ref[:, pl.ds(r_al, 128)]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+    q_r = jnp.sum(jnp.where(lane128 == (r - r_al), qwin, 0), axis=1,
+                  keepdims=True)
+    qb = jnp.where(ti == 0, q_r, _roll1(qrr_ref[:]))
+    qrr_ref[:] = qb
+    return qb
+
+
+# ---------------------------------------------------------------- global --
+
+
+def _global_kernel(
+    qbuf_ref, tgt_ref, qlen_ref, tlen_ref, qle_ref,
+    acc_ref,
+    u_ref, v_ref, x_ref, y_ref, qrr_ref,
+    a0e_ref, a0o_ref, a1e_ref, a1o_ref, a2e_ref, a2o_ref,
+    *, T: int, K: int, scores: tuple,
+):
+    rk = pl.program_id(1)
+    B = tgt_ref.shape[0]
+    qlen = qlen_ref[:, 0:1]
+    tlen = tlen_ref[:, 0:1]
+    qle = qle_ref[:, 0:1]
+    ti = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    tb = tgt_ref[:]
+    # the walk of backtrack_left_end returns at the step consuming query
+    # index qlen-qle (M: including its target; I: excluding); qle==0 stops
+    # at the LAST query-consuming step, excluding its target either way
+    jS = qlen - jnp.maximum(qle, 1)
+    has_q = qle > 0
+
+    @pl.when(rk == 0)
+    def _init():
+        for ref in (u_ref, v_ref, x_ref, y_ref):
+            ref[:] = jnp.zeros((B, T), jnp.int32)
+        qrr_ref[:] = jnp.full((B, T), 4, jnp.int32)
+        for ref in (a0e_ref, a0o_ref, a1e_ref, a1o_ref, a2e_ref, a2o_ref):
+            ref[:] = jnp.zeros((B, T), jnp.int32)
+        acc_ref[:] = jnp.zeros((B, T), jnp.int32)
+
+    for kk in range(K):
+        r = rk * K + kk
+        qb = _qrow(qbuf_ref, qrr_ref, r, ti, B)
+        mask, d, bit08, bit10, _, _ = _dp_row(
+            (u_ref, v_ref, x_ref, y_ref), qb, tb, r, qlen, tlen, ti, scores
+        )
+        # K even => parity of r == parity of kk (static)
+        if kk % 2 == 0:
+            a0_ref, a1_ref, a2_ref = a0e_ref, a1e_ref, a2e_ref
+            a1_other, a2_other = a1o_ref, a2o_ref
+        else:
+            a0_ref, a1_ref, a2_ref = a0o_ref, a1o_ref, a2o_ref
+            a1_other, a2_other = a1e_ref, a2e_ref
+
+        j = r - ti
+        is_jS = j == jS
+        eq = (qb == tb).astype(jnp.int32)
+
+        # out-of-grid predecessor boundaries (tail cigar runs)
+        pm_b0 = jnp.where(jS <= r - 1, (tlen + 1) & TLMASK, 0)  # i==0, j=r
+        pd_b0 = jnp.where(jS <= r, (tlen + 1) & TLMASK, 0)      # i==0 (E run)
+        P_M = jnp.where(ti == r, 0,
+                        jnp.where(ti == 0, pm_b0, _roll1(a0_ref[:])))
+        P_D = jnp.where(ti == 0, pd_b0, _roll1(a1_other[:]))
+        P_I = jnp.where(ti == r, 0, a2_other[:])
+
+        set_m = (jnp.where(has_q, tlen - ti, tlen - 1 - ti) + 1) & TLMASK
+        set_i = (jnp.where(has_q, tlen - ti - 1, tlen - 1 - ti) + 1) & TLMASK
+        M_step = (((P_M >> TLB) + eq) << TLB) | jnp.where(
+            is_jS, set_m, P_M & TLMASK
+        )
+        D_step = P_D
+        I_step = (P_I & ~TLMASK) | jnp.where(is_jS, set_i, P_I & TLMASK)
+
+        A0 = jnp.where(d == 0, M_step, jnp.where(d == 1, D_step, I_step))
+        A1 = jnp.where(bit08, D_step, A0)
+        A2 = jnp.where(bit10, I_step, A0)
+
+        a0_ref[:] = jnp.where(mask, A0, a0_ref[:])
+        a1_ref[:] = jnp.where(mask, A1, a1_ref[:])
+        a2_ref[:] = jnp.where(mask, A2, a2_ref[:])
+
+        # capture A0 at the final cell, elementwise; reduced in XLA
+        hit = (r == qlen + tlen - 2) & (ti == tlen - 1) & mask
+        acc_ref[:] = jnp.where(hit, A0, acc_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("LQ", "T", "K", "scores"))
+def _run_global(q_u8, tgt_u8, qlen, tlen, qle, LQ, T, K, scores):
+    B = tgt_u8.shape[0]
+    BT = tile_b(T)
+    NB = B // BT
+    n_rows = LQ + T - 1
+    NR = (n_rows + K - 1) // K
+    kern = functools.partial(_global_kernel, T=T, K=K, scores=scores)
+    qbuf = _make_qbuf(q_u8.astype(jnp.int32), T)
+    tgt = tgt_u8.astype(jnp.int32)
+    LQplus = qbuf.shape[1]
+    acc = pl.pallas_call(
+        kern,
+        grid=(NB, NR),
+        in_specs=[
+            pl.BlockSpec((BT, LQplus), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, T), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BT, T), lambda b, r: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((BT, T), jnp.int32) for _ in range(11)],
+    )(qbuf, tgt, qlen, tlen, qle)
+    packed = jnp.max(acc, axis=1)
+    iden = packed >> TLB
+    tl = (packed & TLMASK) - 1
+    qle1 = qle[:, 0]
+    tleft = jnp.where(qle1 > qlen[:, 0], tlen[:, 0], tl)
+    return iden, tleft
+
+
+# ------------------------------------------------------------------- ext --
+
+
+def _ext_kernel(
+    qbuf_ref, tgt_ref, qlen_ref, tlen_ref,
+    besth_ref, bestr_ref, sacc_ref,
+    u_ref, v_ref, x_ref, y_ref, qrr_ref, h_ref,
+    *, T: int, K: int, scores: tuple,
+):
+    GO, GE = scores[2], scores[3]
+    QE_ = GO + GE
+    rk = pl.program_id(1)
+    B = tgt_ref.shape[0]
+    qlen = qlen_ref[:, 0:1]
+    tlen = tlen_ref[:, 0:1]
+    ti = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    tb = tgt_ref[:]
+
+    @pl.when(rk == 0)
+    def _init():
+        for ref in (u_ref, v_ref, x_ref, y_ref):
+            ref[:] = jnp.zeros((B, T), jnp.int32)
+        qrr_ref[:] = jnp.full((B, T), 4, jnp.int32)
+        h_ref[:] = jnp.full((B, T), NEG_INF32, jnp.int32)
+        besth_ref[:] = jnp.zeros((B, T), jnp.int32)
+        bestr_ref[:] = jnp.full((B, T), 0x7FFFFFF, jnp.int32)
+        sacc_ref[:] = jnp.full((B, T), NEG_INF32, jnp.int32)
+
+    for kk in range(K):
+        r = rk * K + kk
+        qb = _qrow(qbuf_ref, qrr_ref, r, ti, B)
+        mask, d, bit08, bit10, u_n, v_n = _dp_row(
+            (u_ref, v_ref, x_ref, y_ref), qb, tb, r, qlen, tlen, ti, scores
+        )
+        en0 = jnp.minimum(tlen - 1, r)
+        active = r < qlen + tlen - 1
+
+        # 32-bit H recurrence (ksw2_extz2_sse.c:224-266), elementwise:
+        # H[en0] = H_prev[en0-1] + u[en0] - QE  ==  roll(H)[en0] + u - QE
+        # H[en0]@en0==0 = H_prev[0] + v[0] - QE
+        # H[t<en0] += v - QE
+        H = h_ref[:]
+        H_sh = _roll1(H)
+        h_new = jnp.where(
+            ti == en0,
+            jnp.where(en0 > 0, H_sh + u_n - QE_, H + v_n - QE_),
+            H + v_n - QE_,
+        )
+        h_new = jnp.where((r == 0) & (ti == 0), v_n - QE_ - QE_, h_new)
+        H1 = jnp.where(mask, h_new, H)
+        h_ref[:] = H1
+
+        # per-lane running best with first-improving row (strict >)
+        bh = besth_ref[:]
+        upd = mask & (H1 > bh)
+        besth_ref[:] = jnp.where(upd, H1, bh)
+        bestr_ref[:] = jnp.where(upd, r, bestr_ref[:])
+
+        # final global score at (tlen-1, qlen+tlen-2)
+        hit = (r == qlen + tlen - 2) & (ti == tlen - 1) & mask & active
+        sacc_ref[:] = jnp.where(hit, H1, sacc_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("LQ", "T", "K", "scores"))
+def _run_ext(q_u8, tgt_u8, qlen, tlen, LQ, T, K, scores):
+    B = tgt_u8.shape[0]
+    BT = tile_b(T)
+    NB = B // BT
+    n_rows = LQ + T - 1
+    NR = (n_rows + K - 1) // K
+    kern = functools.partial(_ext_kernel, T=T, K=K, scores=scores)
+    qbuf = _make_qbuf(q_u8.astype(jnp.int32), T)
+    tgt = tgt_u8.astype(jnp.int32)
+    LQplus = qbuf.shape[1]
+    out_spec = pl.BlockSpec((BT, T), lambda b, r: (b, 0),
+                            memory_space=pltpu.VMEM)
+    besth, bestr, sacc = pl.pallas_call(
+        kern,
+        grid=(NB, NR),
+        in_specs=[
+            pl.BlockSpec((BT, LQplus), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, T), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T), jnp.int32),
+            jax.ShapeDtypeStruct((B, T), jnp.int32),
+            jax.ShapeDtypeStruct((B, T), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((BT, T), jnp.int32) for _ in range(6)],
+    )(qbuf, tgt, qlen, tlen)
+
+    # post-pass: reference row-scan tie order for the winning row r*
+    # (ksw2_extz2_sse.c:229-260 / ops/ksw2._row_max_scan)
+    ti = jnp.arange(T)[None, :]
+    qlen1 = qlen[:, 0:1]
+    tlen1 = tlen[:, 0:1]
+    M = jnp.max(besth, axis=1, keepdims=True)                 # [B,1]
+    is_max = besth == M
+    BIGSENT = jnp.int32(0x7FFFFFF)
+    rstar = jnp.min(jnp.where(is_max, bestr, BIGSENT), axis=1, keepdims=True)
+    st0 = jnp.maximum(0, rstar - qlen1 + 1)
+    en0 = jnp.minimum(tlen1 - 1, rstar)
+    en1 = st0 + (en0 - st0) // 4 * 4
+    cand = is_max & (bestr == rstar)
+    at_en0 = jnp.sum(jnp.where(cand & (ti == en0), 1, 0), axis=1,
+                     keepdims=True) > 0
+    BIGI = jnp.int32(1 << 20)
+    lane = jnp.where(ti >= st0, (ti - st0) % 4, 0)
+    in_vec = cand & (ti >= st0) & (ti < en1)
+    vec_key = jnp.min(jnp.where(in_vec, lane * BIGI + ti, BIGSENT),
+                      axis=1, keepdims=True)
+    in_rem = cand & (ti >= en1) & (ti < en0)
+    rem_t = jnp.min(jnp.where(in_rem, ti, BIGSENT), axis=1, keepdims=True)
+    max_t = jnp.where(
+        at_en0,
+        en0,
+        jnp.where(vec_key != BIGSENT, vec_key % BIGI,
+                  jnp.where(rem_t != BIGSENT, rem_t, en0)),
+    )
+    found = M[:, 0] > 0
+    bmax = jnp.where(found, M[:, 0], 0)
+    bmax_t = jnp.where(found, max_t[:, 0], -1)
+    bmax_q = jnp.where(found, rstar[:, 0] - max_t[:, 0], -1)
+    score = jnp.max(sacc, axis=1)
+    return bmax, bmax_t, bmax_q, score
+
+
+# ------------------------------------------------------------ public API --
+
+
+def _make_qbuf(q: jnp.ndarray, LT: int) -> jnp.ndarray:
+    """[B, LQ] -> int32 query padded with 4s so every 128-aligned window
+    load qbuf[:, r_al:r_al+128] is in-bounds."""
+    B, LQ = q.shape
+    n_rows = LQ + LT - 1
+    target = ((n_rows + 127) // 128) * 128 + 128
+    return jnp.pad(q.astype(jnp.int32), ((0, 0), (0, target - LQ)),
+                   constant_values=4)
+
+
+def fixed_b(T: int) -> int:
+    """ONE batch shape per (bucket, variant): Mosaic compiles cost seconds
+    on this platform and do not persist, so every call pads (or splits)
+    to exactly this B. Sized for ~10-30 ms of DP per call; always a
+    multiple of tile_b(T) (the grid drops any remainder tile)."""
+    bt = tile_b(T)
+    return bt * max(1, 165_536 // max(T, 160) // bt)
+
+
+def _pad_rows(arrs, B, Bp, fills):
+    if Bp == B:
+        return arrs
+    out = []
+    for a, fill in zip(arrs, fills):
+        pad = np.full((Bp - B,) + a.shape[1:], fill, a.dtype)
+        out.append(np.concatenate([a, pad], axis=0))
+    return out
+
+
+def global_batch(q, qlen, t, tlen, qle, scores=DEFAULT_SCORES, K=4):
+    """(iden_n, t_left_ext) for a padded batch of global alignments.
+
+    Any B; internally tiled to tile_b(T) rows per pallas grid step. Inputs
+    are NumPy uint8 (shipped to the device as bytes, cast in-jit); outputs
+    stay on device (caller pulls once per round).
+    """
+    B, LQ = q.shape
+    T = t.shape[1]
+    BF = fixed_b(T)
+    if B > BF:
+        parts = [
+            global_batch(q[i:i + BF], qlen[i:i + BF], t[i:i + BF],
+                         tlen[i:i + BF], qle[i:i + BF], scores, K)
+            for i in range(0, B, BF)
+        ]
+        return (jnp.concatenate([p[0] for p in parts]),
+                jnp.concatenate([p[1] for p in parts]))
+    q, t, qlen, tlen, qle = _pad_rows(
+        [np.asarray(q, np.uint8), np.asarray(t, np.uint8),
+         np.asarray(qlen, np.int32), np.asarray(tlen, np.int32),
+         np.asarray(qle, np.int32)],
+        B, BF, [4, 4, 1, 1, 0],
+    )
+    iden, tleft = _run_global(
+        jnp.asarray(q), jnp.asarray(t),
+        jnp.asarray(qlen).reshape(-1, 1), jnp.asarray(tlen).reshape(-1, 1),
+        jnp.asarray(qle).reshape(-1, 1), LQ, T, K, tuple(scores),
+    )
+    return iden[:B], tleft[:B]
+
+
+def ext_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES, K=4):
+    """(max, max_t, max_q, score) for a padded batch, any B."""
+    B, LQ = q.shape
+    T = t.shape[1]
+    BF = fixed_b(T)
+    if B > BF:
+        parts = [
+            ext_batch(q[i:i + BF], qlen[i:i + BF], t[i:i + BF],
+                      tlen[i:i + BF], scores, K)
+            for i in range(0, B, BF)
+        ]
+        return tuple(
+            jnp.concatenate([p[j] for p in parts]) for j in range(4)
+        )
+    q, t, qlen, tlen = _pad_rows(
+        [np.asarray(q, np.uint8), np.asarray(t, np.uint8),
+         np.asarray(qlen, np.int32), np.asarray(tlen, np.int32)],
+        B, BF, [4, 4, 1, 1],
+    )
+    mx, mt, mq, sc = _run_ext(
+        jnp.asarray(q), jnp.asarray(t),
+        jnp.asarray(qlen).reshape(-1, 1), jnp.asarray(tlen).reshape(-1, 1),
+        LQ, T, K, tuple(scores),
+    )
+    return mx[:B], mt[:B], mq[:B], sc[:B]
