@@ -1,0 +1,63 @@
+"""Device-resident profile-POA (ops/msa_device.py) vs host oracle.
+
+The DP/backtrack kernels are TPU Pallas kernels; this test only runs when a
+real TPU backend is present (tests force JAX_PLATFORMS=cpu, so it is skipped
+in the CPU suite — run with JAX_PLATFORMS= to exercise it on hardware).
+Bit-exactness contract: ops/poa_profile.profile_consensus (consensus bases
+AND coverage; coverage feeds the -r filter and FASTQ quals, reference
+src/abpoa_cons.c:92-107).
+"""
+
+import numpy as np
+import pytest
+
+
+def _tpu_available():
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _tpu_available(), reason="requires a TPU backend"
+)
+
+
+def _mutate(rng, u, err):
+    out = []
+    for c in u:
+        r = rng.random()
+        if r < err / 3:
+            continue
+        elif r < 2 * err / 3:
+            out.extend([rng.integers(0, 4), c])
+        elif r < err:
+            out.append(rng.integers(0, 4))
+        else:
+            out.append(c)
+    return np.array(out, np.uint8)
+
+
+def test_device_msa_bit_exact_vs_host():
+    from tidehunter_tpu.ops.msa_device import DeviceMSA
+    from tidehunter_tpu.ops.poa_profile import profile_consensus
+
+    rng = np.random.default_rng(7)
+    regions = []
+    for _ in range(40):
+        L = int(rng.integers(20, 400))
+        unit = rng.integers(0, 4, L).astype(np.uint8)
+        n = int(rng.integers(3, 12))
+        regions.append([_mutate(rng, unit, 0.12) for _ in range(n)])
+
+    msa = DeviceMSA(2, 4, 4, 2)
+    dev = msa.consensus_batch(regions)
+    for ri, r in enumerate(dev):
+        hb, hcov = profile_consensus(regions[ri], 2, 4, 4, 2)
+        assert r is not None, f"region {ri} unexpectedly fell back"
+        cb, cov = r
+        assert np.array_equal(cb, hb), f"region {ri} bases differ"
+        assert np.array_equal(cov, hcov), f"region {ri} coverage differs"

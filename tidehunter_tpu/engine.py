@@ -314,11 +314,35 @@ class Engine:
             res = self.aligner.run_giden([(reqs[i][1], reqs[i][2]) for i in idxs])
             for i, r in zip(idxs, res):
                 out[i] = r
+        if "gidens" in by_kind:
+            # batched variant: one request carries a list of (q, t) pairs;
+            # flatten across requests into one device round
+            idxs = by_kind["gidens"]
+            flat = []
+            spans = []
+            for i in idxs:
+                pairs = reqs[i][1]
+                spans.append((len(flat), len(pairs)))
+                flat.extend(pairs)
+            res = self.aligner.run_giden(flat)
+            for i, (lo, n) in zip(idxs, spans):
+                out[i] = res[lo : lo + n]
         if "ext" in by_kind:
             idxs = by_kind["ext"]
             res = self.aligner.run_ext([(reqs[i][1], reqs[i][2]) for i in idxs])
             for i, r in zip(idxs, res):
                 out[i] = r
+        if "exts" in by_kind:
+            idxs = by_kind["exts"]
+            flat = []
+            spans = []
+            for i in idxs:
+                pairs = reqs[i][1]
+                spans.append((len(flat), len(pairs)))
+                flat.extend(pairs)
+            res = self.aligner.run_ext(flat)
+            for i, (lo, n) in zip(idxs, spans):
+                out[i] = res[lo : lo + n]
         if "msa" in by_kind:
             idxs = by_kind["msa"]
             res = self._resolve_msa([reqs[i][1] for i in idxs])
@@ -328,6 +352,8 @@ class Engine:
 
     def _resolve_msa(self, regions: List[List[np.ndarray]]):
         if self.msa_mode == "profile":
+            if self.aligner.use_wavefront:
+                return self._resolve_msa_device(regions)
             return self._resolve_msa_profile(regions)
         if not self.poa_on_device:
             return [resolve_oracle(("msa", units), self.mtp) for units in regions]
@@ -346,6 +372,29 @@ class Engine:
                 )
             templates = new_templates
         return cons
+
+    def _resolve_msa_device(self, regions: List[List[np.ndarray]]):
+        """Device-resident profile-POA (ops/msa_device.py): all unit rounds
+        run on the TPU with zero intermediate host pulls; oversize/overflow
+        regions fall back to the host oracle. Bit-exact with
+        ops/poa_profile.profile_consensus."""
+        if not hasattr(self, "_device_msa"):
+            from .ops.msa_device import DeviceMSA
+
+            m = self.mtp
+            self._device_msa = DeviceMSA(
+                m.match, m.mismatch, m.gap_open1, m.gap_ext1
+            )
+        results = self._device_msa.consensus_batch(regions)
+        from .ops.poa_profile import profile_consensus
+
+        m = self.mtp
+        for ri, r in enumerate(results):
+            if r is None:
+                results[ri] = profile_consensus(
+                    regions[ri], m.match, m.mismatch, m.gap_open1, m.gap_ext1
+                )
+        return results
 
     def _resolve_msa_profile(self, regions: List[List[np.ndarray]]):
         """Batched device profile-POA: unit k of every region aligns to its

@@ -1,0 +1,499 @@
+"""Device-resident profile-POA consensus (MSA v2).
+
+The v1 device path (ops/poa_pallas.py) ping-ponged per unit round: host
+computed substitution scores, the device aligned, an XLA while_loop walked
+the direction tensor, the ops arrays were pulled to the host and the
+profile updated in NumPy.  On this platform every pull costs ~25 ms and
+the while_loop backtrack costs 5x the DP, so MSA dominated the pipeline.
+
+v2 keeps ALL state on the device across rounds:
+
+  counts [B, T, 5] int32   profile column base counts
+  n_placed, ncol, overflow per region
+
+and runs each unit round as four host-pull-free dispatches:
+
+  1. _scores_step (jit): substitution scores + weighted-deletion prefix
+     sums from counts — the same fixed-point arithmetic as
+     ops/poa_profile.Profile.sub_scores/del_weights.
+  2. _dp pallas kernel: the profile Gotoh DP in ANTI-DIAGONAL form.  The
+     row-major form needs a prefix-cummax per row for the
+     occupancy-weighted deletion track; on the wavefront the same track is
+     the ordinary elementwise recurrence F[j][c] = max(G[j][c-1] - od,
+     F[j][c-1]) - wdel[c] because (j, c-1) lives on the previous
+     anti-diagonal.  Direction bytes (sel | icont<<2 | fcont<<3) stream to
+     HBM.
+  3. _backtrack pallas kernel: lockstep level walk.  In anti-diagonal
+     coordinates every backtrack step decreases L = j + c by exactly 1
+     (M by 2), so one reverse sweep over levels — streaming dirs rows from
+     HBM at full bandwidth — advances every problem in lockstep; the op
+     emitted at each level lands in a level-indexed output row, which read
+     left-to-right IS the alignment path.
+  4. _update_step (jit): Profile.update_arrays as batched gather/scatter.
+
+Tie-break rules (M over I over D; I-run continuation on strict >; D-run
+continuation on >=) are exactly those of ops/poa_profile.align_to_profile,
+so consensus output is bit-identical with the host profile_consensus.
+
+The consensus (majority base per column, column dropped when gaps
+outnumber the best base, coverage = count of units with the consensus
+base — the abPOA RC contract, reference src/abpoa_cons.c:92-107) is
+extracted on device and pulled ONCE per region batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .poa_profile import SCALE
+
+NEG = -(1 << 30)
+OP_M, OP_I, OP_D, OP_PAD = 0, 1, 2, 3
+
+
+def _modules():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return jax, jnp, pl, pltpu
+
+
+# ------------------------------------------------------------ DP kernel --
+
+
+def _make_dp_kernel(T: int, K: int, oi: int, ei: int, od: int):
+    jax, jnp, pl, pltpu = _modules()
+
+    def kernel(qbuf_ref, sub_ref, wl_ref, wdel_ref, qlen_ref, ncol_ref,
+               dirs_ref,
+               he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref):
+        rk = pl.program_id(1)
+        B = wl_ref.shape[0]
+        Lq = qlen_ref[:, 0:1]
+        Tn = ncol_ref[:, 0:1]
+        ti = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+
+        @pl.when(rk == 0)
+        def _init():
+            he_ref[:] = jnp.full((B, T), NEG, jnp.int32)
+            ho_ref[:] = jnp.full((B, T), NEG, jnp.int32)
+            e_ref[:] = jnp.full((B, T), NEG, jnp.int32)
+            f_ref[:] = jnp.full((B, T), NEG, jnp.int32)
+            g_ref[:] = jnp.full((B, T), NEG, jnp.int32)
+            qrr_ref[:] = jnp.full((B, T), 4, jnp.int32)
+
+        Wl = wl_ref[:]
+        Wl_sh = jnp.where(ti == 0, 0, pltpu.roll(Wl, 1, 1))
+
+        for kk in range(K):
+            r = rk * K + kk
+            # unit base for the new diagonal cell: same window trick as
+            # ops/wavefront._qrow (query index = r - lane)
+            r_al = pl.multiple_of(r // 128 * 128, 128)
+            qwin = qbuf_ref[:, pl.ds(r_al, 128)]
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+            q_r = jnp.sum(
+                jnp.where(lane128 == (r - r_al), qwin, 0), axis=1,
+                keepdims=True)
+            qb = jnp.where(ti == 0, q_r, pltpu.roll(qrr_ref[:], 1, 1))
+            qrr_ref[:] = qb
+
+            # interior cell (j, c): lane t = c-1, j = r - t + 1
+            mask = ((ti <= r) & (ti >= r - Lq + 1) & (ti < Tn)
+                    & (r < Lq + Tn - 1))
+
+            s = sub_ref[:, 0, :]
+            for bb in range(1, 5):
+                s = jnp.where(qb == bb, sub_ref[:, bb, :], s)
+
+            if kk % 2 == 0:
+                hp2_ref, hp_ref = he_ref, ho_ref
+            else:
+                hp2_ref, hp_ref = ho_ref, he_ref
+
+            # M: H[j-1][c-1] at (r-2, t-1)
+            hm = pltpu.roll(hp2_ref[:], 1, 1)
+            hm = jnp.where(ti == 0, -(oi + r * ei), hm)       # c-1==0, j-1>=1
+            hm = jnp.where(
+                ti == r,
+                jnp.where(ti == 0, 0, -(od + Wl_sh)),         # j-1==0
+                hm)
+            M = hm + s
+
+            # E (insertion, consumes unit): refs at (r-1, t)
+            hp = hp_ref[:]
+            ep = e_ref[:]
+            h_up = jnp.where(ti == r, -(od + Wl), hp)         # j-1==0
+            e_up = jnp.where(ti == r, NEG, ep)
+            e_open = h_up - oi - ei
+            e_cont = e_up - ei
+            E = jnp.maximum(e_open, e_cont)
+            icont = e_cont > e_open
+
+            # F (deletion, consumes column): refs at (r-1, t-1)
+            g_sh = pltpu.roll(g_ref[:], 1, 1)
+            f_sh = pltpu.roll(f_ref[:], 1, 1)
+            g_sh = jnp.where(ti == 0, -(oi + (r + 1) * ei), g_sh)  # c-1==0
+            f_sh = jnp.where(ti == 0, NEG, f_sh)
+            wd = wdel_ref[:]
+            F = jnp.maximum(g_sh - od, f_sh) - wd
+            fcont = f_sh >= (g_sh - od)
+
+            G = jnp.maximum(M, E)
+            H = jnp.maximum(G, F)
+            sel = jnp.where(F > G, 2, jnp.where(E > M, 1, 0))
+            d = (sel | jnp.where(icont, 4, 0) | jnp.where(fcont, 8, 0)
+                 ).astype(jnp.uint8)
+
+            hp2_ref[:] = jnp.where(mask, H, hp2_ref[:])
+            e_ref[:] = jnp.where(mask, E, e_ref[:])
+            f_ref[:] = jnp.where(mask, F, f_ref[:])
+            g_ref[:] = jnp.where(mask, G, g_ref[:])
+            dirs_ref[kk] = jnp.where(mask, d, jnp.uint8(0))
+
+    return kernel
+
+
+# ----------------------------------------------------- backtrack kernel --
+
+
+def _make_bt_kernel(T: int, NL: int):
+    jax, jnp, pl, pltpu = _modules()
+
+    def kernel(dirs_ref, qlen_ref, ncol_ref,
+               ops_ref,
+               j_ref, c_ref, mode_ref):
+        tick = pl.program_id(1)
+        B = qlen_ref.shape[0]
+        L = 2 * T - tick            # current level (j + c)
+        ti = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+        lnl = jax.lax.broadcasted_iota(jnp.int32, (B, NL), 1)
+
+        @pl.when(tick == 0)
+        def _init():
+            j_ref[:] = qlen_ref[:]
+            c_ref[:] = ncol_ref[:]
+            mode_ref[:] = jnp.full((B, 1), -1, jnp.int32)
+            ops_ref[:] = jnp.full((B, NL), OP_PAD, jnp.int8)
+
+        j = j_ref[:]
+        c = c_ref[:]
+        mode = mode_ref[:]
+        act = (j + c == L) & ((j > 0) | (c > 0))
+        at_top = j == 0
+        at_left = c == 0
+
+        val = jnp.sum(
+            jnp.where(ti == c - 1, dirs_ref[0].astype(jnp.int32), 0),
+            axis=1, keepdims=True)
+        d = val & 3
+        icont = (val >> 2) & 1
+        fcont = (val >> 3) & 1
+        sel = jnp.where(mode > 0, mode, d)
+        sel = jnp.where(at_top, 2, jnp.where(at_left, 1, sel))
+        is_m = sel == 0
+        is_i = sel == 1
+        op = jnp.where(is_m, OP_M, jnp.where(is_i, OP_I, OP_D))
+
+        ops_ref[:] = jnp.where(
+            act & (lnl == L), op.astype(jnp.int8), ops_ref[:])
+        nmode = jnp.where(
+            is_m, -1,
+            jnp.where(is_i, jnp.where(icont == 1, 1, -1),
+                      jnp.where(fcont == 1, 2, -1)))
+        j_ref[:] = jnp.where(act, j - jnp.where(is_m | is_i, 1, 0), j)
+        c_ref[:] = jnp.where(act, c - jnp.where(is_m | (sel == 2), 1, 0), c)
+        mode_ref[:] = jnp.where(act, nmode, mode)
+
+    return kernel
+
+
+# ------------------------------------------------------------ jit steps --
+
+
+def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
+    jax, jnp, _, _ = _modules()
+    oi = SCALE * gap_open
+    ei = SCALE * gap_ext
+    od = SCALE * gap_open
+
+    @functools.partial(jax.jit, static_argnames=("lqplus",))
+    def scores_step(counts, n_placed, ncol, units_dev, ulen_dev, nunits, k,
+                    lqplus):
+        """One fused dispatch per round: substitution scores + deletion
+        prefix sums from counts, plus the round's unit row (gathered by the
+        traced round index k) padded into the DP's query buffer."""
+        B, T, _ = counts.shape
+        ci = jnp.arange(T)[None, :]
+        occ = counts.sum(axis=2)
+        occ1 = jnp.maximum(occ, 1)
+        raw = SCALE * ((match + mismatch) * counts
+                       - mismatch * occ1[:, :, None])
+        sub = jnp.floor_divide(raw, occ1[:, :, None])      # [B, T, 5]
+        sub = jnp.where((ci < ncol[:, None])[:, :, None], sub, -SCALE * 64)
+        sub = jnp.transpose(sub, (0, 2, 1)).astype(jnp.int32)  # [B, 5, T]
+        wdel = jnp.floor_divide(SCALE * gap_ext * occ,
+                                jnp.maximum(n_placed, 1)[:, None])
+        wdel = jnp.where(ci < ncol[:, None], wdel, 0).astype(jnp.int32)
+        wl = jnp.cumsum(wdel, axis=1).astype(jnp.int32)
+        active = k < nunits
+        unit_k = jnp.take(units_dev, k, axis=1).astype(jnp.int32)
+        qlen_k = jnp.where(active, jnp.take(ulen_dev, k, axis=1), 1
+                           ).astype(jnp.int32)
+        qbuf = jnp.pad(unit_k, ((0, 0), (0, lqplus - T)), constant_values=4)
+        return sub, wdel, wl, qbuf, unit_k, qlen_k, active
+
+    @jax.jit
+    def update_step(counts, n_placed, ncol, overflow, unit, qlen, active,
+                    ops_lvl):
+        B, T, _ = counts.shape
+        NL = ops_lvl.shape[1]
+        op = ops_lvl.astype(jnp.int32)
+        unit = unit.astype(jnp.int32)
+        valid = (op != OP_PAD) & active[:, None]
+        is_i = op == OP_I
+        is_d = op == OP_D
+        consumes_c = valid & ~is_i
+        consumes_q = valid & ~is_d
+        step = jnp.cumsum(valid.astype(jnp.int32), axis=1)       # 1-based
+        col = jnp.cumsum(consumes_c.astype(jnp.int32), axis=1)   # 1-based
+        qp = jnp.cumsum(consumes_q.astype(jnp.int32), axis=1) - 1
+
+        base = jnp.take_along_axis(
+            unit.astype(jnp.int32), jnp.clip(qp, 0, unit.shape[1] - 1),
+            axis=1)
+        base = jnp.where(consumes_q, base, 5)
+        onehot = jax.nn.one_hot(base, 5, dtype=jnp.int32)        # [B, NL, 5]
+
+        colz = jnp.clip(col - 1, 0, T - 1)
+        old = jnp.take_along_axis(counts, colz[:, :, None], axis=1)
+        old = jnp.where(consumes_c[:, :, None], old, 0)
+        contrib = old + jnp.where(valid[:, :, None], onehot, 0)
+
+        dest = jnp.where(valid & (step <= T), step - 1, T)       # T = dump
+        new = jnp.zeros((B, T + 1, 5), jnp.int32)
+        bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, NL))
+        new = new.at[bidx, dest].add(contrib)
+        new = new[:, :T, :]
+
+        nsteps = step[:, -1]
+        counts2 = jnp.where(active[:, None, None], new, counts)
+        ncol2 = jnp.where(active, jnp.minimum(nsteps, T), ncol)
+        overflow2 = overflow | (active & (nsteps > T))
+        n_placed2 = n_placed + active.astype(jnp.int32)
+        return counts2, n_placed2, ncol2, overflow2
+
+    @jax.jit
+    def consensus_step(counts, n_placed, ncol):
+        B, T, _ = counts.shape
+        ci = jnp.arange(T)[None, :]
+        best = jnp.argmax(counts, axis=2)
+        bc = jnp.max(counts, axis=2)
+        occ = counts.sum(axis=2)
+        gaps = n_placed[:, None] - occ
+        keep = (bc > gaps) & (ci < ncol[:, None])
+        return best.astype(jnp.uint8), bc, keep
+
+    return scores_step, update_step, consensus_step, (oi, ei, od)
+
+
+# --------------------------------------------------------------- driver --
+
+
+def _dirs_b(T: int) -> int:
+    """Fixed region-batch per profile bucket: dirs HBM footprint is
+    n_rows * B * T bytes (~0.5 GB budget). Bigger batches mean fewer
+    dispatches per unit round — dispatches, not compute, are the cost."""
+    return max(8, min(1024, 500_000_000 // (2 * T * T) // 8 * 8))
+
+
+class DeviceMSA:
+    """Batched profile-POA over fixed (T, B) shapes; one pull per batch."""
+
+    def __init__(self, match, mismatch, gap_open, gap_ext,
+                 buckets=(128, 640, 2048)):
+        self.buckets = tuple(sorted(buckets))
+        (self.scores_step, self.update_step, self.consensus_step,
+         (self.oi, self.ei, self.od)) = _build_jits(
+            match, mismatch, gap_open, gap_ext)
+        self._dp_runs: Dict[int, object] = {}
+        self._bt_runs: Dict[int, object] = {}
+
+    def _bucket(self, n: int):
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return None
+
+    def _dp_run(self, T: int):
+        if T in self._dp_runs:
+            return self._dp_runs[T]
+        jax, jnp, pl, pltpu = _modules()
+        K = 4
+        B = _dirs_b(T)
+        BT = max(8, min(B, 32 * 1024 // max(T // 8, 1) // 8 * 8))
+        while B % BT:
+            BT -= 8
+        n_rows = 2 * T - 1
+        NR = (n_rows + K - 1) // K
+        LQplus = ((n_rows + 127) // 128) * 128 + 128
+        kern = _make_dp_kernel(T, K, self.oi, self.ei, self.od)
+
+        @jax.jit
+        def run(qbuf, sub, wl, wdel, qlen, ncol):
+            return pl.pallas_call(
+                kern,
+                grid=(B // BT, NR),
+                in_specs=[
+                    pl.BlockSpec((BT, LQplus), lambda b, r: (b, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BT, 5, T), lambda b, r: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BT, T), lambda b, r: (b, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BT, T), lambda b, r: (b, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BT, 1), lambda b, r: (b, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BT, 1), lambda b, r: (b, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (K, BT, T), lambda b, r: (r, b, 0),
+                    memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((NR * K, B, T), jnp.uint8),
+                scratch_shapes=[pltpu.VMEM((BT, T), jnp.int32)
+                                for _ in range(6)],
+            )(qbuf, sub, wl, wdel, qlen, ncol)
+
+        self._dp_runs[T] = (run, B, LQplus)
+        return self._dp_runs[T]
+
+    def _bt_run(self, T: int):
+        if T in self._bt_runs:
+            return self._bt_runs[T]
+        jax, jnp, pl, pltpu = _modules()
+        B = _dirs_b(T)
+        BT = max(8, min(B, 16 * 1024 // max(T // 8, 1) // 8 * 8))
+        while B % BT:
+            BT -= 8
+        NL = ((2 * T + 1 + 127) // 128) * 128
+        NT = 2 * T          # levels L = 2T .. 1 (L=1: boundary-only steps)
+        kern = _make_bt_kernel(T, NL)
+
+        @jax.jit
+        def run(dirs, qlen, ncol):
+            return pl.pallas_call(
+                kern,
+                grid=(B // BT, NT),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, BT, T),
+                        lambda b, k: (jnp.maximum(2 * T - 2 - k, 0), b, 0),
+                        memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BT, 1), lambda b, k: (b, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BT, 1), lambda b, k: (b, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((BT, NL), lambda b, k: (b, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, NL), jnp.int8),
+                scratch_shapes=[pltpu.VMEM((BT, 1), jnp.int32)
+                                for _ in range(3)],
+            )(dirs, qlen, ncol)
+
+        self._bt_runs[T] = (run, B, NL)
+        return self._bt_runs[T]
+
+    def consensus_batch(
+        self, regions: List[List[np.ndarray]]
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """[(cons_bases, coverage)] per region, host fallback marked None
+        (caller resolves those with the host oracle)."""
+        import jax.numpy as jnp
+
+        out: List = [None] * len(regions)
+        by_bucket: Dict[int, List[int]] = {}
+        for ri, units in enumerate(regions):
+            cap = max(len(u) for u in units)
+            b = self._bucket(int(cap * 1.5) + 8)
+            if b is None:
+                continue
+            by_bucket.setdefault(b, []).append(ri)
+
+        for T, idxs in by_bucket.items():
+            run_dp, B, LQplus = self._dp_run(T)
+            run_bt, B2, NL = self._bt_run(T)
+            assert B == B2
+            for lo in range(0, len(idxs), B):
+                part = idxs[lo:lo + B]
+                res = self._one_batch(
+                    [regions[i] for i in part], T, B, LQplus, NL,
+                    run_dp, run_bt, jnp)
+                for i, r in zip(part, res):
+                    out[i] = r
+        return out
+
+    def _one_batch(self, regs, T, B, LQplus, NL, run_dp, run_bt, jnp):
+        R = len(regs)
+        U = max(len(units) for units in regs)
+        units_arr = np.full((B, U, T), 4, np.uint8)
+        ulen = np.zeros((B, U), np.int32)
+        nunits = np.ones(B, np.int32)
+        for i, units in enumerate(regs):
+            nunits[i] = len(units)
+            for k, u in enumerate(units):
+                L = min(len(u), T)
+                units_arr[i, k, :L] = u[:L]
+                ulen[i, k] = max(1, L)
+
+        counts = jnp.zeros((B, T, 5), jnp.int32)
+        first = units_arr[:, 0, :]
+        fl = ulen[:, 0]
+        ci = np.arange(T)[None, :]
+        oh = np.zeros((B, T, 5), np.int32)
+        rows = np.repeat(np.arange(B), T)
+        oh[rows.reshape(B, T), ci, first.astype(np.int64)] = (
+            ci < fl[:, None]).astype(np.int32)
+        counts = jnp.asarray(oh)
+        n_placed = jnp.ones(B, jnp.int32)
+        ncol = jnp.asarray(fl.astype(np.int32))
+        overflow = jnp.zeros(B, bool)
+        units_dev = jnp.asarray(units_arr)
+        ulen_dev = jnp.asarray(ulen)
+
+        nunits_dev = jnp.asarray(nunits)
+        for k in range(1, U):
+            sub, wdel, wl, qbuf, unit_k, qlen_k, active = self.scores_step(
+                counts, n_placed, ncol, units_dev, ulen_dev, nunits_dev,
+                k, lqplus=LQplus)
+            dirs = run_dp(qbuf, sub, wl, wdel,
+                          qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
+            ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
+                             ncol.reshape(-1, 1))
+            counts, n_placed, ncol, overflow = self.update_step(
+                counts, n_placed, ncol, overflow, unit_k, qlen_k, active,
+                ops_lvl)
+
+        best, bc, keep = self.consensus_step(counts, n_placed, ncol)
+        pulled = np.asarray(jnp.concatenate(
+            [best.astype(jnp.int32), bc,
+             keep.astype(jnp.int32),
+             jnp.broadcast_to(overflow.astype(jnp.int32)[:, None],
+                              (B, T))], axis=1))
+        out = []
+        for i in range(R):
+            row = pulled[i]
+            if row[3 * T]:
+                out.append(None)        # overflow -> host fallback
+                continue
+            kp = row[2 * T:3 * T].astype(bool)
+            out.append((row[:T][kp].astype(np.uint8),
+                        row[T:2 * T][kp].astype(np.int64)))
+        return out

@@ -130,24 +130,37 @@ def seqs_msa_gen(
                     # state (and with abPOA would loop forever); advance.
                     i = j + 1
                     continue
-                # aveMatch: global identity of each unit vs consensus
-                ave_match = 0.0
-                for ki in range(i, j - 1):
-                    start, end = par_pos[ki], par_pos[ki + 1]
-                    length = end - start
-                    iden_n = yield ("giden", bseq[start + 1 : end + 1], cons)
-                    ave_match += iden_n * 100 / float(length)
-                # boundary extension (gen_cons.c:217-223); ksw2_left_ext
-                # reverses both sequences (src/ksw2_align.c:161-173)
-                copy_num = float(n_seqs)
-                max_q, max_t = yield (
-                    "ext", cons[::-1], bseq[: par_pos[i] + 1][::-1]
+                # aveMatch: global identity of each unit vs consensus —
+                # all units batched as ONE request (one device round)
+                lengths = [
+                    par_pos[ki + 1] - par_pos[ki] for ki in range(i, j - 1)
+                ]
+                idens = yield (
+                    "gidens",
+                    [
+                        (bseq[par_pos[ki] + 1 : par_pos[ki + 1] + 1], cons)
+                        for ki in range(i, j - 1)
+                    ],
                 )
-                cons_start = par_pos[i] - max_t
-                copy_num += (max_q + 1.0) / cons_len
-                max_q, max_t = yield ("ext", cons, bseq[par_pos[j - 1] + 1 :])
-                cons_end = par_pos[j - 1] + max_t + 1
-                copy_num += (max_q + 1.0) / cons_len
+                ave_match = sum(
+                    iden_n * 100 / float(length)
+                    for iden_n, length in zip(idens, lengths)
+                )
+                # boundary extension (gen_cons.c:217-223); ksw2_left_ext
+                # reverses both sequences (src/ksw2_align.c:161-173);
+                # left+right batched as ONE request
+                copy_num = float(n_seqs)
+                (lq, lt), (rq, rt) = yield (
+                    "exts",
+                    [
+                        (cons[::-1], bseq[: par_pos[i] + 1][::-1]),
+                        (cons, bseq[par_pos[j - 1] + 1 :]),
+                    ],
+                )
+                cons_start = par_pos[i] - lt
+                copy_num += (lq + 1.0) / cons_len
+                cons_end = par_pos[j - 1] + rt + 1
+                copy_num += (rq + 1.0) / cons_len
 
                 cons_seq = decode(cons)
                 cons_qual = qual
@@ -188,10 +201,18 @@ def resolve_oracle(req, mtp: Params):
         return _msa_oracle(req[1], mtp)
     if kind == "giden":
         return ksw2.global_identity(req[1], req[2])
+    if kind == "gidens":
+        return [ksw2.global_identity(q, t) for q, t in req[1]]
     if kind == "ext":
         # requests are pre-reversed for left extensions
         res = ksw2.extz(req[1], req[2], score_only=True)
         return res.max_q, res.max_t
+    if kind == "exts":
+        out = []
+        for q, t in req[1]:
+            res = ksw2.extz(q, t, score_only=True)
+            out.append((res.max_q, res.max_t))
+        return out
     raise ValueError(f"unknown request {kind}")
 
 
