@@ -52,6 +52,18 @@ CELL_CAP = 160_000
 MSA_ROUNDS = 2
 
 
+def _shape_stable_b(n: int, BF: int) -> int:
+    """Round n up to BF * 2^k: the wavefront kernel runs fixed-B calls of
+    BF rows and device-concats the parts, so keeping the part count a power
+    of two bounds the set of concat shapes XLA ever compiles (a new shape
+    costs ~0.3-1.2 s on this cache-less platform; padding costs ~ms)."""
+    parts = -(-n // BF)
+    p2 = 1
+    while p2 < parts:
+        p2 *= 2
+    return BF * p2
+
+
 def fixed_batch_size(bucket: int) -> int:
     """One batch shape per bucket: every kernel call pads to exactly this B,
     so each (bucket, variant) compiles once per process (the axon platform
@@ -115,8 +127,13 @@ class BatchAligner:
         return groups, host
 
     @staticmethod
-    def _pad(reqs, idxs, LQ, LT, qi=0, ti=1, exact=False):
-        B = len(idxs) if exact else fixed_batch_size(max(LQ, LT))
+    def _pad(reqs, idxs, LQ, LT, qi=0, ti=1, exact_B=None):
+        """exact_B: pad the batch to exactly this many rows. EVERY shape a
+        device op sees must come from a small finite set — on this platform
+        a single new shape costs ~1.2 s of XLA/Mosaic compiles (no
+        persistent cache), so callers round B up to a multiple of the
+        kernel's fixed batch instead of using len(idxs)."""
+        B = exact_B if exact_B is not None else fixed_batch_size(max(LQ, LT))
         q = np.full((B, LQ), 4, np.uint8)
         t = np.full((B, LT), 4, np.uint8)
         qlen = np.ones(B, np.int32)
@@ -149,23 +166,27 @@ class BatchAligner:
         if self.use_wavefront:
             import jax.numpy as jnp
 
-            launched = []
-            order: List[int] = []
+            chunks = []
+            placed: List[Tuple[List[int], int]] = []
+            off = 0
             for (LQ, LT), idxs in groups.items():
-                q, qlen, t, tlen = self._pad(reqs, idxs, LQ, LT, exact=True)
-                qle = np.zeros(len(idxs), np.int32)
+                B = _shape_stable_b(len(idxs), self.wf.fixed_b(LT))
+                q, qlen, t, tlen = self._pad(reqs, idxs, LQ, LT, exact_B=B)
+                qle = np.zeros(B, np.int32)
                 for row, i in enumerate(idxs):
                     qle[row] = max(0, reqs[i][2])
                 iden, tleft = self.wf.global_batch(q, qlen, t, tlen, qle, scores)
-                launched.append(jnp.stack([iden, tleft], axis=1))
-                order.extend(idxs)
-            if launched:
+                chunks.append(jnp.stack([iden, tleft], axis=1))
+                placed.append((idxs, off))
+                off += B
+            if chunks:
                 res = np.asarray(
-                    launched[0] if len(launched) == 1
-                    else jnp.concatenate(launched, axis=0)
+                    chunks[0] if len(chunks) == 1
+                    else jnp.concatenate(chunks, axis=0)
                 )
-                for row, i in enumerate(order):
-                    out[i] = (int(res[row, 0]), int(res[row, 1]))
+                for idxs, base in placed:
+                    for row, i in enumerate(idxs):
+                        out[i] = (int(res[base + row, 0]), int(res[base + row, 1]))
             return out
         launched = []
         for (LQ, LT), idxs in groups.items():
@@ -199,20 +220,24 @@ class BatchAligner:
         if self.use_wavefront:
             import jax.numpy as jnp
 
-            launched = []
-            order: List[int] = []
+            chunks = []
+            placed: List[Tuple[List[int], int]] = []
+            off = 0
             for (LQ, LT), idxs in groups.items():
-                q, qlen, t, tlen = self._pad(reqs, idxs, LQ, LT, exact=True)
+                B = _shape_stable_b(len(idxs), self.wf.fixed_b(LT))
+                q, qlen, t, tlen = self._pad(reqs, idxs, LQ, LT, exact_B=B)
                 _mx, mt, mq, _sc = self.wf.ext_batch(q, qlen, t, tlen, scores)
-                launched.append(jnp.stack([mq, mt], axis=1))
-                order.extend(idxs)
-            if launched:
+                chunks.append(jnp.stack([mq, mt], axis=1))
+                placed.append((idxs, off))
+                off += B
+            if chunks:
                 res = np.asarray(
-                    launched[0] if len(launched) == 1
-                    else jnp.concatenate(launched, axis=0)
+                    chunks[0] if len(chunks) == 1
+                    else jnp.concatenate(chunks, axis=0)
                 )
-                for row, i in enumerate(order):
-                    out[i] = (int(res[row, 0]), int(res[row, 1]))
+                for idxs, base in placed:
+                    for row, i in enumerate(idxs):
+                        out[i] = (int(res[base + row, 0]), int(res[base + row, 1]))
             return out
         launched = []
         for (LQ, LT), idxs in groups.items():

@@ -399,10 +399,12 @@ def _make_qbuf(q: jnp.ndarray, LT: int) -> jnp.ndarray:
 def fixed_b(T: int) -> int:
     """ONE batch shape per (bucket, variant): Mosaic compiles cost seconds
     on this platform and do not persist, so every call pads (or splits)
-    to exactly this B. Sized for ~10-30 ms of DP per call; always a
-    multiple of tile_b(T) (the grid drops any remainder tile)."""
+    to exactly this B. Sized for ~20-50 ms of DP per call (the kernel runs
+    at 15-180 Gcell/s, so a mostly-padding call is still cheaper than one
+    XLA shape compile); always a multiple of tile_b(T) (the grid drops any
+    remainder tile)."""
     bt = tile_b(T)
-    return bt * max(1, 165_536 // max(T, 160) // bt)
+    return bt * max(1, 1_048_576 // max(T, 160) // bt)
 
 
 def _pad_rows(arrs, B, Bp, fills):
