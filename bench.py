@@ -66,8 +66,11 @@ def main() -> int:
     process_chunk = make_engine(mtp, platform="tpu")
 
     # warmup: pays all kernel compiles AND warms the device RPC path — the
-    # axon tunnel's first ~10 dispatch rounds carry connection-setup latency
-    process_chunk(reads[: min(32, n_reads)], mtp)
+    # axon tunnel's first ~10 dispatch rounds carry connection-setup
+    # latency. A full-size warmup chunk covers every batch shape the
+    # measured chunk will dispatch (this platform recompiles per shape),
+    # so the measurement reflects steady-state multi-chunk throughput.
+    process_chunk(reads, mtp)
 
     sink = io.StringIO()
     t0 = time.perf_counter()

@@ -321,6 +321,7 @@ class Engine:
             msa_mode == "star"
             and m.mismatch <= 2 * (m.gap_open1 + m.gap_ext1)
         )
+        self._pool = None
 
     # --- request resolution ---
 
@@ -489,17 +490,32 @@ class Engine:
         bseqs = [None] * len(chunk)
         read_chains = [None] * len(chunk)
 
-        # stage 1: seed + chain (host)
-        for ri, rec in enumerate(chunk):
+        # stage 1: seed + chain (host). The native chain DP (ctypes)
+        # releases the GIL, and seeding is NumPy-releasing too, so the
+        # reference's read-parallel threading model (src/main.c:273-291)
+        # maps onto a plain thread pool here.
+        def _seed_chain(ri_rec):
+            ri, rec = ri_rec
             if len(rec.seq) < mtp.k:
                 read_chains[ri] = (None, [])
-                continue
+                return
             bseq = encode(rec.seq)
             bseqs[ri] = bseq
             ends, periods = collect_tandem_repeat_hits(
                 bseq, mtp.k, mtp.w, mtp.hpc, mtp.min_p, mtp.max_p
             )
             read_chains[ri] = tandem_chain_native(ends, periods, mtp.k)
+
+        n_workers = max(1, int(getattr(mtp, "n_thread", 1) or 1))
+        if n_workers > 1 and len(chunk) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._pool is None or self._pool._max_workers != n_workers:
+                self._pool = ThreadPoolExecutor(max_workers=n_workers)
+            list(self._pool.map(_seed_chain, enumerate(chunk)))
+        else:
+            for item in enumerate(chunk):
+                _seed_chain(item)
 
         # stage 2: partition walks, batched breadth-first
         walkers = []

@@ -289,7 +289,22 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
         return counts2, n_placed2, ncol2, overflow2
 
     @jax.jit
-    def consensus_step(counts, n_placed, ncol):
+    def init_step(units_dev, ulen_dev):
+        """Initial profile = one-hot of unit 0 (device-side: the counts
+        tensor is ~8 MB int32 and the tunnel moves ~40 MB/s, so building
+        it on host and pushing it cost more than the whole DP round)."""
+        B, _, T = units_dev.shape
+        ci = jnp.arange(T)[None, :]
+        first = units_dev[:, 0, :].astype(jnp.int32)
+        fl = ulen_dev[:, 0]
+        oh = jax.nn.one_hot(first, 5, dtype=jnp.int32)
+        counts = jnp.where((ci < fl[:, None])[:, :, None], oh, 0)
+        return counts, fl.astype(jnp.int32)
+
+    @jax.jit
+    def consensus_step(counts, n_placed, ncol, overflow):
+        """Packs (best | keep<<3 | overflow<<4) into one uint8 plane and
+        coverage into int16 — the pull is latency+bandwidth bound."""
         B, T, _ = counts.shape
         ci = jnp.arange(T)[None, :]
         best = jnp.argmax(counts, axis=2)
@@ -297,29 +312,47 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
         occ = counts.sum(axis=2)
         gaps = n_placed[:, None] - occ
         keep = (bc > gaps) & (ci < ncol[:, None])
-        return best.astype(jnp.uint8), bc, keep
+        packed = (best
+                  | jnp.where(keep, 8, 0)
+                  | jnp.where(overflow[:, None], 16, 0)).astype(jnp.uint8)
+        return packed, bc.astype(jnp.int16)
 
-    return scores_step, update_step, consensus_step, (oi, ei, od)
+    return scores_step, update_step, consensus_step, init_step, (oi, ei, od)
 
 
 # --------------------------------------------------------------- driver --
 
 
+def _tile_bt(T: int) -> int:
+    """Rows per grid block, from the DP kernel's real VMEM bill:
+    qbuf ~2T+256, sub 5T, wl+wdel 2T, 6 scratch 6T (all int32, x4B) plus
+    the K*BT*T uint8 dirs block => ~BT*(64T+1024) bytes; budget 12 MB of
+    the 16 MB VMEM."""
+    return max(8, 12_000_000 // (64 * T + 1024) // 8 * 8)
+
+
 def _dirs_b(T: int) -> int:
     """Fixed region-batch per profile bucket: dirs HBM footprint is
     n_rows * B * T bytes (~0.5 GB budget). Bigger batches mean fewer
-    dispatches per unit round — dispatches, not compute, are the cost."""
-    return max(8, min(1024, 500_000_000 // (2 * T * T) // 8 * 8))
+    dispatches per unit round — dispatches, not compute, are the cost.
+    Always a multiple of _tile_bt(T) so the grid divides evenly."""
+    bt = _tile_bt(T)
+    raw = max(8, min(1024, 500_000_000 // (2 * T * T) // 8 * 8))
+    return max(bt, raw // bt * bt)
 
 
 class DeviceMSA:
     """Batched profile-POA over fixed (T, B) shapes; one pull per batch."""
 
     def __init__(self, match, mismatch, gap_open, gap_ext,
-                 buckets=(128, 640, 2048)):
+                 buckets=(128, 256, 384, 512, 768, 1024, 1536, 2048)):
+        """Buckets are deliberately fine-grained: DP cost is ~2*T^2 per
+        region, so a region spilling one bucket up pays the full ratio
+        (768 -> 2048 would be 7x). Each bucket Mosaic-compiles its DP/BT
+        kernels once, on first use only."""
         self.buckets = tuple(sorted(buckets))
         (self.scores_step, self.update_step, self.consensus_step,
-         (self.oi, self.ei, self.od)) = _build_jits(
+         self.init_step, (self.oi, self.ei, self.od)) = _build_jits(
             match, mismatch, gap_open, gap_ext)
         self._dp_runs: Dict[int, object] = {}
         self._bt_runs: Dict[int, object] = {}
@@ -336,9 +369,7 @@ class DeviceMSA:
         jax, jnp, pl, pltpu = _modules()
         K = 4
         B = _dirs_b(T)
-        BT = max(8, min(B, 32 * 1024 // max(T // 8, 1) // 8 * 8))
-        while B % BT:
-            BT -= 8
+        BT = min(B, _tile_bt(T))
         n_rows = 2 * T - 1
         NR = (n_rows + K - 1) // K
         LQplus = ((n_rows + 127) // 128) * 128 + 128
@@ -379,9 +410,7 @@ class DeviceMSA:
             return self._bt_runs[T]
         jax, jnp, pl, pltpu = _modules()
         B = _dirs_b(T)
-        BT = max(8, min(B, 16 * 1024 // max(T // 8, 1) // 8 * 8))
-        while B % BT:
-            BT -= 8
+        BT = min(B, _tile_bt(T))
         NL = ((2 * T + 1 + 127) // 128) * 128
         NT = 2 * T          # levels L = 2T .. 1 (L=1: boundary-only steps)
         kern = _make_bt_kernel(T, NL)
@@ -453,20 +482,11 @@ class DeviceMSA:
                 units_arr[i, k, :L] = u[:L]
                 ulen[i, k] = max(1, L)
 
-        counts = jnp.zeros((B, T, 5), jnp.int32)
-        first = units_arr[:, 0, :]
-        fl = ulen[:, 0]
-        ci = np.arange(T)[None, :]
-        oh = np.zeros((B, T, 5), np.int32)
-        rows = np.repeat(np.arange(B), T)
-        oh[rows.reshape(B, T), ci, first.astype(np.int64)] = (
-            ci < fl[:, None]).astype(np.int32)
-        counts = jnp.asarray(oh)
-        n_placed = jnp.ones(B, jnp.int32)
-        ncol = jnp.asarray(fl.astype(np.int32))
-        overflow = jnp.zeros(B, bool)
         units_dev = jnp.asarray(units_arr)
         ulen_dev = jnp.asarray(ulen)
+        counts, ncol = self.init_step(units_dev, ulen_dev)
+        n_placed = jnp.ones(B, jnp.int32)
+        overflow = jnp.zeros(B, bool)
 
         nunits_dev = jnp.asarray(nunits)
         for k in range(1, U):
@@ -481,19 +501,16 @@ class DeviceMSA:
                 counts, n_placed, ncol, overflow, unit_k, qlen_k, active,
                 ops_lvl)
 
-        best, bc, keep = self.consensus_step(counts, n_placed, ncol)
-        pulled = np.asarray(jnp.concatenate(
-            [best.astype(jnp.int32), bc,
-             keep.astype(jnp.int32),
-             jnp.broadcast_to(overflow.astype(jnp.int32)[:, None],
-                              (B, T))], axis=1))
+        packed, bc = self.consensus_step(counts, n_placed, ncol, overflow)
+        packed = np.asarray(packed)
+        bc = np.asarray(bc)
         out = []
         for i in range(R):
-            row = pulled[i]
-            if row[3 * T]:
+            row = packed[i]
+            if row[0] & 16:
                 out.append(None)        # overflow -> host fallback
                 continue
-            kp = row[2 * T:3 * T].astype(bool)
-            out.append((row[:T][kp].astype(np.uint8),
-                        row[T:2 * T][kp].astype(np.int64)))
+            kp = (row & 8) != 0
+            out.append(((row[kp] & 7).astype(np.uint8),
+                        bc[i][kp].astype(np.int64)))
         return out
