@@ -16,8 +16,10 @@ Parity-critical semantics (reference edlib/src/edlib.cpp:141-250):
 
 The oracle uses Python arbitrary-precision ints as bit vectors (query
 length = number of bits), looping once over the target — Myers 1999 without
-the block decomposition. The TPU path batches this as int32 multi-word
-bit-parallel ops over adapter x window tiles (ops/myers_jax.py).
+the block decomposition. Adapter searches are short (adapter ~20-60 bp vs a
+~1-2 kb doubled consensus) and run only on records that survive every other
+filter, so the host oracle is the production path; batch it on device only
+if -F workloads ever dominate a profile.
 """
 
 from __future__ import annotations
