@@ -1,0 +1,147 @@
+"""Consensus-accuracy evaluation, following the reference paper's protocol.
+
+The reference evaluated on simulated tandem-repeat long reads sweeping
+error rate 0.13-0.20, unit size 100-3000 and copy number 2-20 with 1000
+reads per config, scoring each called consensus against the true repeat
+unit (reference simulation/README.md:17-43; the datasets themselves were
+moved out of the repo, so this regenerates equivalent ones).
+
+Scoring: a called consensus can start at any rotation of the true unit, so
+identity is computed by infix (HW) alignment of the consensus against the
+unit doubled (the same rotation-invariance trick the reference applies to
+adapters, src/gen_cons.c:227-233):
+    identity = 1 - edit_distance(cons, unit+unit infix) / len(cons)
+
+Usage:
+    python evals/accuracy.py [--reads N] [--device tpu|off] [--configs all]
+
+Prints one line per config: detection rate (reads with >=1 consensus
+call), mean/median consensus identity, and mean copy-number error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from tidehunter_tpu.io.codec import decode  # noqa: E402
+from tidehunter_tpu.io.fastx import FastxRecord  # noqa: E402
+from tidehunter_tpu.ops.myers import align_hw  # noqa: E402
+from tidehunter_tpu.params import Params  # noqa: E402
+
+
+# (error rate, unit length, copy number) — the corners and center of the
+# reference sweep (simulation/README.md:17-41), sized to run in minutes.
+# Note (0.20, *, 2): two copies at 20% error diverge ~35% pairwise, beyond
+# the default -e 0.25 partition acceptance (reference src/partition.c:205),
+# so 0% detection there is the reference-faithful outcome — the "up to 20%
+# error" capability (README.md:68-70) presumes more copies.
+CONFIGS = [
+    (0.13, 100, 10),
+    (0.13, 500, 10),
+    (0.16, 500, 10),
+    (0.20, 500, 10),
+    (0.16, 1000, 5),
+    (0.16, 3000, 3),
+    (0.16, 200, 20),
+    (0.20, 2000, 2),
+]
+
+
+def mutate(rng, unit: np.ndarray, err: float) -> np.ndarray:
+    """Apply uniform substitution/insertion/deletion noise at rate err
+    (split evenly, the reference simulator's model)."""
+    out = []
+    for c in unit:
+        r = rng.random()
+        if r < err / 3:
+            continue                                  # deletion
+        elif r < 2 * err / 3:
+            out.append(int(rng.integers(0, 4)))       # insertion
+            out.append(int(c))
+        elif r < err:
+            out.append(int(rng.integers(0, 4)))       # substitution
+        else:
+            out.append(int(c))
+    return np.array(out, dtype=np.uint8)
+
+
+def make_read(rng, err: float, unit_len: int, copies: int, flank: int = 100):
+    unit = rng.integers(0, 4, unit_len).astype(np.uint8)
+    parts = [rng.integers(0, 4, flank).astype(np.uint8)]
+    for _ in range(copies):
+        parts.append(mutate(rng, unit, err))
+    parts.append(rng.integers(0, 4, flank).astype(np.uint8))
+    return decode(np.concatenate(parts)), decode(unit)
+
+
+def consensus_identity(cons: str, unit: str) -> float:
+    """Rotation-invariant identity of a called consensus vs the true unit."""
+    if not cons:
+        return 0.0
+    ed, _, _ = align_hw(cons, unit + unit, -1)
+    return max(0.0, 1.0 - ed / len(cons))
+
+
+def evaluate(n_reads: int, device: str, configs) -> int:
+    mtp = Params()
+    if device in ("tpu", "cpu"):
+        from tidehunter_tpu.engine import make_engine
+
+        process = make_engine(mtp, platform=device)
+    else:
+        from tidehunter_tpu.pipeline.core import tidehunter_core
+
+        def process(chunk, mtp):
+            return [tidehunter_core(rec.seq, mtp) for rec in chunk]
+
+    print(f"{'err':>5} {'unit':>5} {'copies':>6} | {'detect%':>8} "
+          f"{'mean_id%':>8} {'med_id%':>8} {'cn_err':>6} {'reads/s':>8}")
+    for err, unit_len, copies in configs:
+        rng = np.random.default_rng(hash((err, unit_len, copies)) % 2**31)
+        reads, units = [], []
+        for i in range(n_reads):
+            seq, unit = make_read(rng, err, unit_len, copies)
+            reads.append(FastxRecord(name=f"r{i}", comment="", seq=seq))
+            units.append(unit)
+        t0 = time.perf_counter()
+        results = process(reads, mtp)
+        dt = time.perf_counter() - t0
+        idens, cn_errs, detected = [], [], 0
+        for res, unit in zip(results, units):
+            recs = [r for r in res.records if not r.is_unit]
+            if not recs:
+                continue
+            detected += 1
+            best = max(recs, key=lambda r: r.end - r.start)
+            idens.append(consensus_identity(best.seq, unit))
+            cn_errs.append(abs(best.copy_num - copies))
+        mean_id = 100 * float(np.mean(idens)) if idens else 0.0
+        med_id = 100 * float(np.median(idens)) if idens else 0.0
+        cn = float(np.mean(cn_errs)) if cn_errs else float("nan")
+        print(f"{err:5.2f} {unit_len:5d} {copies:6d} | "
+              f"{100 * detected / n_reads:8.1f} {mean_id:8.2f} "
+              f"{med_id:8.2f} {cn:6.2f} {n_reads / dt:8.1f}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--reads", type=int, default=50)
+    ap.add_argument("--device", default="tpu", choices=["tpu", "cpu", "off"])
+    ap.add_argument("--configs", default="all")
+    args = ap.parse_args(argv)
+    configs = CONFIGS if args.configs == "all" else [
+        tuple(map(float, c.split(":"))) for c in args.configs.split(",")
+    ]
+    configs = [(float(e), int(u), int(c)) for e, u, c in configs]
+    return evaluate(args.reads, args.device, configs)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -82,6 +82,7 @@ def usage() -> int:
     e("  TPU (no reference equivalent):\n")
     e("    --device STR            kernel dispatch: tpu | cpu | off [tpu]\n")
     e("    --resume STR            progress-cursor file for checkpoint/restart [off]\n")
+    e("    --metrics STR           write structured run metrics JSON to file [off]\n")
     e("  General options:\n")
     e("    -h --help               print this help usage information\n")
     e("    -v --version            show version number\n")
@@ -106,7 +107,7 @@ def parse_args(argv: List[str]):
     """getopt-style parse. Returns (params, input_path, extra) or an int exit
     code. Mirrors main.c:443-529 including validation messages."""
     mtp = Params()
-    extra = {"device": "tpu", "resume": None, "output": None}
+    extra = {"device": "tpu", "resume": None, "output": None, "metrics": None}
     pos: List[str] = []
     i = 0
     n = len(argv)
@@ -131,6 +132,11 @@ def parse_args(argv: List[str]):
             if val is None:
                 return 1
             extra["resume"] = val
+        elif tok == "--metrics":
+            val = need_arg(tok)
+            if val is None:
+                return 1
+            extra["metrics"] = val
         elif tok.startswith("--"):
             key = tok.split("=", 1)[0]
             c = _LONG.get(key)
@@ -322,6 +328,24 @@ def main(argv: Optional[List[str]] = None) -> int:
         f"reads/s: {metrics.reads_per_s():.2f}",
         func="main",
     )
+    from .utils.metrics import METRICS
+
+    snap = METRICS.snapshot()
+    if snap:
+        log(METRICS.summary_line(), func="metrics")
+    metrics_fn = extra["metrics"] or __import__("os").environ.get("TH_METRICS")
+    if metrics_fn:
+        import json as _json
+
+        snap.update(
+            reads=metrics.reads,
+            chunks=metrics.chunks,
+            cons_records=metrics.cons_records,
+            wall_s=round(metrics.wall_s, 3),
+            reads_per_s=round(metrics.reads_per_s(), 3),
+        )
+        with open(metrics_fn, "w") as f:
+            _json.dump(snap, f, indent=1)
     if out is not None:
         out.close()
     return 0

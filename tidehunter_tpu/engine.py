@@ -44,6 +44,7 @@ from .pipeline.consensus import (
     single_copy_full_len_seq,
 )
 from .utils.log import log
+from .utils.metrics import METRICS
 
 KSW2_SCORES = (ksw2.MATCH_SC, ksw2.MIS_SC, ksw2.GAP_OPEN, ksw2.GAP_EXT)
 
@@ -134,6 +135,9 @@ class BatchAligner:
         persistent cache), so callers round B up to a multiple of the
         kernel's fixed batch instead of using len(idxs)."""
         B = exact_B if exact_B is not None else fixed_batch_size(max(LQ, LT))
+        METRICS.add("device_items", len(idxs))
+        METRICS.add("device_rows", B)
+        METRICS.add("kernel_calls")
         q = np.full((B, LQ), 4, np.uint8)
         t = np.full((B, LT), 4, np.uint8)
         qlen = np.ones(B, np.int32)
@@ -484,16 +488,19 @@ class Engine:
         return [prof.consensus() for prof in profs]
 
     # --- chunk processing ---
+    #
+    # Split into prepare (host: encode/seed/chain) and finish (device
+    # rounds + consensus) so the runner can overlap chunk N+1's host work
+    # with chunk N's device work.
 
-    def process_chunk(self, chunk, mtp: Params) -> List[TandemResult]:
-        results = [TandemResult() for _ in chunk]
+    def prepare_chunk(self, chunk, mtp: Params):
+        """Stage 1: seed + chain (host). The native chain DP (ctypes)
+        releases the GIL, and seeding is NumPy-releasing too, so the
+        reference's read-parallel threading model (src/main.c:273-291)
+        maps onto a plain thread pool here."""
         bseqs = [None] * len(chunk)
         read_chains = [None] * len(chunk)
 
-        # stage 1: seed + chain (host). The native chain DP (ctypes)
-        # releases the GIL, and seeding is NumPy-releasing too, so the
-        # reference's read-parallel threading model (src/main.c:273-291)
-        # maps onto a plain thread pool here.
         def _seed_chain(ri_rec):
             ri, rec = ri_rec
             if len(rec.seq) < mtp.k:
@@ -506,16 +513,27 @@ class Engine:
             )
             read_chains[ri] = tandem_chain_native(ends, periods, mtp.k)
 
-        n_workers = max(1, int(getattr(mtp, "n_thread", 1) or 1))
-        if n_workers > 1 and len(chunk) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        with METRICS.timed("seed_chain"):
+            n_workers = max(1, int(getattr(mtp, "n_thread", 1) or 1))
+            if n_workers > 1 and len(chunk) > 1:
+                from concurrent.futures import ThreadPoolExecutor
 
-            if self._pool is None or self._pool._max_workers != n_workers:
-                self._pool = ThreadPoolExecutor(max_workers=n_workers)
-            list(self._pool.map(_seed_chain, enumerate(chunk)))
-        else:
-            for item in enumerate(chunk):
-                _seed_chain(item)
+                if self._pool is None or self._pool._max_workers != n_workers:
+                    self._pool = ThreadPoolExecutor(max_workers=n_workers)
+                list(self._pool.map(_seed_chain, enumerate(chunk)))
+            else:
+                for item in enumerate(chunk):
+                    _seed_chain(item)
+        return chunk, bseqs, read_chains
+
+    def process_chunk(self, chunk, mtp: Params) -> List[TandemResult]:
+        return self.finish_chunk(self.prepare_chunk(chunk, mtp), mtp)
+
+    __call__ = process_chunk
+
+    def finish_chunk(self, prepared, mtp: Params) -> List[TandemResult]:
+        chunk, bseqs, read_chains = prepared
+        results = [TandemResult() for _ in chunk]
 
         # stage 2: partition walks, batched breadth-first
         walkers = []
@@ -537,7 +555,8 @@ class Engine:
         def resolve_global(reqs):
             return self.aligner.run_global(reqs)
 
-        _drive_collect(walkers, resolve_global, holder)
+        with METRICS.timed("partition"):
+            _drive_collect(walkers, resolve_global, holder)
         for wi, (ri, ci) in enumerate(walker_meta):
             par_results[(ri, ci)] = holder.get(wi)
 
@@ -556,7 +575,8 @@ class Engine:
                     len(rec.seq), bseqs[ri], chain_pars, results[ri], mtp
                 )
             )
-        _drive(consensus_gens, self._resolve_batch)
+        with METRICS.timed("consensus"):
+            _drive(consensus_gens, self._resolve_batch)
 
         # stage 4: single-copy full-length (host Myers)
         if (
@@ -565,8 +585,9 @@ class Engine:
             and mtp.five_seq is not None
             and mtp.three_seq is not None
         ):
-            for ri, rec in enumerate(chunk):
-                single_copy_full_len_seq(rec.seq, results[ri], mtp)
+            with METRICS.timed("single_copy"):
+                for ri, rec in enumerate(chunk):
+                    single_copy_full_len_seq(rec.seq, results[ri], mtp)
         return results
 
 
@@ -600,7 +621,10 @@ def _drive_collect(gens, resolver, holder: Dict[int, object]) -> None:
                 holder[kk] = stop.value
 
 
-def make_engine(mtp: Params, platform: str = "tpu"):
+def make_engine(mtp: Params, platform: str = "tpu") -> Engine:
+    """Returns the Engine; it is callable as process_chunk(chunk, mtp) and
+    additionally exposes prepare_chunk/finish_chunk for the pipelined
+    runner (host work of chunk N+1 overlaps device work of chunk N)."""
     engine = Engine(mtp, platform)
     log(f"device engine ready (platform={platform})")
-    return engine.process_chunk
+    return engine

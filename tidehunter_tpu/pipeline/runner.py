@@ -88,10 +88,7 @@ def run(
         def process_chunk(chunk, mtp):
             return [tidehunter_core(rec.seq, mtp) for rec in chunk]
 
-    for chunk_i, chunk in enumerate(_chunks(read_fastx(read_fn), mtp.chunk_read_n)):
-        if chunk_i < skip_chunks:
-            continue
-        results = process_chunk(chunk, mtp)
+    def _emit(chunk_i, chunk, results):
         for rec, result in zip(chunk, results):
             write_read_output(out, rec.name, rec.seq, result, mtp)
             metrics.cons_records += len(result.records)
@@ -103,6 +100,35 @@ def run(
             with open(tmp, "w") as f:
                 json.dump({"chunks_done": chunk_i + 1, "reads": metrics.reads}, f)
             os.replace(tmp, resume_cursor)
+
+    chunks = (
+        (ci, ch)
+        for ci, ch in enumerate(_chunks(read_fastx(read_fn), mtp.chunk_read_n))
+        if ci >= skip_chunks
+    )
+
+    if hasattr(process_chunk, "prepare_chunk"):
+        # pipelined: prepare (host seed/chain) of chunk N+1 runs in a
+        # background thread while finish (device rounds) of chunk N runs
+        # here; output order stays input order because chunks are emitted
+        # strictly in sequence.
+        from concurrent.futures import ThreadPoolExecutor
+
+        eng = process_chunk
+        with ThreadPoolExecutor(max_workers=1) as prefetch:
+            pending = None  # (chunk_i, chunk, future-of-prepared)
+            for chunk_i, chunk in chunks:
+                fut = prefetch.submit(eng.prepare_chunk, chunk, mtp)
+                if pending is not None:
+                    pi, pchunk, pfut = pending
+                    _emit(pi, pchunk, eng.finish_chunk(pfut.result(), mtp))
+                pending = (chunk_i, chunk, fut)
+            if pending is not None:
+                pi, pchunk, pfut = pending
+                _emit(pi, pchunk, eng.finish_chunk(pfut.result(), mtp))
+    else:
+        for chunk_i, chunk in chunks:
+            _emit(chunk_i, chunk, process_chunk(chunk, mtp))
 
     metrics.wall_s = time.perf_counter() - t0
     return metrics
