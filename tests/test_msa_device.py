@@ -41,18 +41,22 @@ def _mutate(rng, u, err):
     return np.array(out, np.uint8)
 
 
-def test_device_msa_bit_exact_vs_host():
-    from tidehunter_tpu.ops.msa_device import DeviceMSA
-    from tidehunter_tpu.ops.poa_profile import profile_consensus
-
-    rng = np.random.default_rng(7)
+def _regions(seed=7, n_regions=40):
+    rng = np.random.default_rng(seed)
     regions = []
-    for _ in range(40):
+    for _ in range(n_regions):
         L = int(rng.integers(20, 400))
         unit = rng.integers(0, 4, L).astype(np.uint8)
         n = int(rng.integers(3, 12))
         regions.append([_mutate(rng, unit, 0.12) for _ in range(n)])
+    return regions
 
+
+def test_device_msa_bit_exact_vs_host():
+    from tidehunter_tpu.ops.msa_device import DeviceMSA
+    from tidehunter_tpu.ops.poa_profile import profile_consensus
+
+    regions = _regions()
     msa = DeviceMSA(2, 4, 4, 2)
     dev = msa.consensus_batch(regions)
     for ri, r in enumerate(dev):
@@ -60,4 +64,19 @@ def test_device_msa_bit_exact_vs_host():
         assert r is not None, f"region {ri} unexpectedly fell back"
         cb, cov = r
         assert np.array_equal(cb, hb), f"region {ri} bases differ"
+        assert np.array_equal(cov, hcov), f"region {ri} coverage differs"
+
+
+def test_device_msa_polish_bit_exact_vs_host():
+    from tidehunter_tpu.ops.msa_device import DeviceMSA
+    from tidehunter_tpu.ops.poa_profile import profile_consensus
+
+    regions = _regions(seed=11, n_regions=20)
+    msa = DeviceMSA(2, 4, 4, 2, polish=1)
+    dev = msa.consensus_batch(regions)
+    for ri, r in enumerate(dev):
+        hb, hcov = profile_consensus(regions[ri], 2, 4, 4, 2, polish=1)
+        assert r is not None, f"region {ri} unexpectedly fell back"
+        cb, cov = r
+        assert np.array_equal(cb, hb), f"region {ri} polished bases differ"
         assert np.array_equal(cov, hcov), f"region {ri} coverage differs"

@@ -83,6 +83,8 @@ def usage() -> int:
     e("    --device STR            kernel dispatch: tpu | cpu | off [tpu]\n")
     e("    --resume STR            progress-cursor file for checkpoint/restart [off]\n")
     e("    --metrics STR           write structured run metrics JSON to file [off]\n")
+    e("    --polish INT            consensus refinement rounds (realign units to the\n")
+    e("                            final profile; improves low-coverage accuracy) [0]\n")
     e("  General options:\n")
     e("    -h --help               print this help usage information\n")
     e("    -v --version            show version number\n")
@@ -137,6 +139,11 @@ def parse_args(argv: List[str]):
             if val is None:
                 return 1
             extra["metrics"] = val
+        elif tok == "--polish":
+            val = need_arg(tok)
+            if val is None:
+                return 1
+            mtp.polish = int(val)
         elif tok.startswith("--"):
             key = tok.split("=", 1)[0]
             c = _LONG.get(key)

@@ -384,6 +384,13 @@ class Engine:
         if self.msa_mode == "profile":
             if self.aligner.use_wavefront:
                 return self._resolve_msa_device(regions)
+            if getattr(self.mtp, "polish", 0) > 0:
+                # the CPU-device profile path has no polish rounds; the
+                # host oracle does (profile_consensus polish loop)
+                return [
+                    resolve_oracle(("msa", units), self.mtp)
+                    for units in regions
+                ]
             return self._resolve_msa_profile(regions)
         if not self.poa_on_device:
             return [resolve_oracle(("msa", units), self.mtp) for units in regions]
@@ -413,7 +420,8 @@ class Engine:
 
             m = self.mtp
             self._device_msa = DeviceMSA(
-                m.match, m.mismatch, m.gap_open1, m.gap_ext1
+                m.match, m.mismatch, m.gap_open1, m.gap_ext1,
+                polish=getattr(m, "polish", 0),
             )
         results = self._device_msa.consensus_batch(regions)
         from .ops.poa_profile import profile_consensus
@@ -422,7 +430,8 @@ class Engine:
         for ri, r in enumerate(results):
             if r is None:
                 results[ri] = profile_consensus(
-                    regions[ri], m.match, m.mismatch, m.gap_open1, m.gap_ext1
+                    regions[ri], m.match, m.mismatch, m.gap_open1,
+                    m.gap_ext1, polish=getattr(m, "polish", 0),
                 )
         return results
 

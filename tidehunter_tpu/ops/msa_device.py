@@ -289,6 +289,31 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
         return counts2, n_placed2, ncol2, overflow2
 
     @jax.jit
+    def polish_update(votes, ncol, active, unit, ops_lvl):
+        """Frozen-layout vote accumulation: only M steps into existing
+        columns count (the host polish rule, ops/poa_profile.py
+        profile_consensus polish loop)."""
+        B, T, _ = votes.shape
+        op = ops_lvl.astype(jnp.int32)
+        unit = unit.astype(jnp.int32)
+        valid = (op != OP_PAD) & active[:, None]
+        consumes_c = valid & (op != OP_I)
+        consumes_q = valid & (op != OP_D)
+        col = jnp.cumsum(consumes_c.astype(jnp.int32), axis=1) - 1
+        qp = jnp.cumsum(consumes_q.astype(jnp.int32), axis=1) - 1
+        is_m = valid & (op == OP_M)
+        base = jnp.take_along_axis(
+            unit, jnp.clip(qp, 0, unit.shape[1] - 1), axis=1)
+        onehot = jax.nn.one_hot(
+            jnp.where(is_m, base, 5), 5, dtype=jnp.int32)
+        dest = jnp.where(is_m & (col < T), col, T)
+        bidx = jnp.broadcast_to(
+            jnp.arange(B)[:, None], dest.shape)
+        padded = jnp.zeros((B, T + 1, 5), jnp.int32)
+        padded = padded.at[bidx, dest].add(onehot)
+        return votes + padded[:, :T, :]
+
+    @jax.jit
     def init_step(units_dev, ulen_dev):
         """Initial profile = one-hot of unit 0 (device-side: the counts
         tensor is ~8 MB int32 and the tunnel moves ~40 MB/s, so building
@@ -317,7 +342,8 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
                   | jnp.where(overflow[:, None], 16, 0)).astype(jnp.uint8)
         return packed, bc.astype(jnp.int16)
 
-    return scores_step, update_step, consensus_step, init_step, (oi, ei, od)
+    return (scores_step, update_step, consensus_step, init_step,
+            polish_update, (oi, ei, od))
 
 
 # --------------------------------------------------------------- driver --
@@ -344,15 +370,20 @@ def _dirs_b(T: int) -> int:
 class DeviceMSA:
     """Batched profile-POA over fixed (T, B) shapes; one pull per batch."""
 
-    def __init__(self, match, mismatch, gap_open, gap_ext,
+    def __init__(self, match, mismatch, gap_open, gap_ext, polish=0,
                  buckets=(128, 256, 384, 512, 768, 1024, 1536, 2048)):
         """Buckets are deliberately fine-grained: DP cost is ~2*T^2 per
         region, so a region spilling one bucket up pays the full ratio
         (768 -> 2048 would be 7x). Each bucket Mosaic-compiles its DP/BT
-        kernels once, on first use only."""
+        kernels once, on first use only.
+
+        polish: frozen-layout refinement rounds after the sequential pass
+        (bit-exact with profile_consensus(..., polish=polish))."""
         self.buckets = tuple(sorted(buckets))
+        self.polish = polish
         (self.scores_step, self.update_step, self.consensus_step,
-         self.init_step, (self.oi, self.ei, self.od)) = _build_jits(
+         self.init_step, self.polish_update,
+         (self.oi, self.ei, self.od)) = _build_jits(
             match, mismatch, gap_open, gap_ext)
         self._dp_runs: Dict[int, object] = {}
         self._bt_runs: Dict[int, object] = {}
@@ -500,6 +531,26 @@ class DeviceMSA:
             counts, n_placed, ncol, overflow = self.update_step(
                 counts, n_placed, ncol, overflow, unit_k, qlen_k, active,
                 ops_lvl)
+
+        nunits_dev32 = nunits_dev.astype(jnp.int32)
+        for _ in range(self.polish):
+            # frozen-layout refinement: scores_step reads the SAME counts
+            # every k, so sub/wdel stay frozen while the unit gather walks
+            # k = 0..U-1 (k=0 realigns the first unit too)
+            votes = jnp.zeros_like(counts)
+            for k in range(U):
+                sub, wdel, wl, qbuf, unit_k, qlen_k, active = (
+                    self.scores_step(
+                        counts, n_placed, ncol, units_dev, ulen_dev,
+                        nunits_dev, k, lqplus=LQplus))
+                dirs = run_dp(qbuf, sub, wl, wdel,
+                              qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
+                ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
+                                 ncol.reshape(-1, 1))
+                votes = self.polish_update(
+                    votes, ncol, active, unit_k, ops_lvl)
+            counts = votes
+            n_placed = nunits_dev32
 
         packed, bc = self.consensus_step(counts, n_placed, ncol, overflow)
         packed = np.asarray(packed)

@@ -86,6 +86,9 @@ class Params:
     cons_out: Optional[IO[str]] = None
     # host threading (reference parity flag; TPU path uses device batching)
     n_thread: int = THREAD_N
+    # consensus refinement rounds beyond the reference's single sequential
+    # POA pass (realign all units to the frozen final profile); 0 = parity
+    polish: int = 0
     # --- TPU-specific (no reference equivalent) ---
     use_tpu: bool = True          # dispatch hot kernels to accelerator
     chunk_read_n: int = CHUNK_READ_N

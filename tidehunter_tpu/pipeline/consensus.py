@@ -44,7 +44,8 @@ def _msa_oracle(units: List[np.ndarray], mtp: Params):
     from ..ops.poa_profile import profile_consensus
 
     return profile_consensus(
-        units, mtp.match, mtp.mismatch, mtp.gap_open1, mtp.gap_ext1
+        units, mtp.match, mtp.mismatch, mtp.gap_open1, mtp.gap_ext1,
+        polish=getattr(mtp, "polish", 0),
     )
 
 
