@@ -85,6 +85,8 @@ def usage() -> int:
     e("    --metrics STR           write structured run metrics JSON to file [off]\n")
     e("    --polish INT            consensus refinement rounds (realign units to the\n")
     e("                            final profile; improves low-coverage accuracy) [0]\n")
+    e("    --shard I/N             process reads I, I+N, I+2N, ... (multi-host data\n")
+    e("                            parallelism; auto from jax.distributed) [0/1]\n")
     e("  General options:\n")
     e("    -h --help               print this help usage information\n")
     e("    -v --version            show version number\n")
@@ -109,7 +111,8 @@ def parse_args(argv: List[str]):
     """getopt-style parse. Returns (params, input_path, extra) or an int exit
     code. Mirrors main.c:443-529 including validation messages."""
     mtp = Params()
-    extra = {"device": "tpu", "resume": None, "output": None, "metrics": None}
+    extra = {"device": "tpu", "resume": None, "output": None,
+             "metrics": None, "shard": None}
     pos: List[str] = []
     i = 0
     n = len(argv)
@@ -144,6 +147,15 @@ def parse_args(argv: List[str]):
             if val is None:
                 return 1
             mtp.polish = int(val)
+        elif tok == "--shard":
+            val = need_arg(tok)
+            if val is None:
+                return 1
+            si, sn = val.split("/")
+            extra["shard"] = (int(si), int(sn))
+            if not (0 <= extra["shard"][0] < extra["shard"][1]):
+                sys.stderr.write("\n[main] Error: --shard needs 0 <= I < N.\n")
+                return 1
         elif tok.startswith("--"):
             key = tok.split("=", 1)[0]
             c = _LONG.get(key)
@@ -321,10 +333,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         except Exception as exc:  # noqa: BLE001 - fall back to oracle path
             log(f"device engine unavailable ({exc}); using host oracle path")
 
+    shard = extra["shard"]
+    if shard is None and extra["device"] in ("tpu", "cpu"):
+        # auto-shard under jax.distributed (multi-host pod slice)
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                shard = (jax.process_index(), jax.process_count())
+                log(f"auto input shard {shard[0]}/{shard[1]}")
+        except Exception:  # noqa: BLE001
+            pass
+
     try:
         metrics = runner.run(
             read_fn, mtp, out=out, resume_cursor=extra["resume"],
-            process_chunk=process_chunk,
+            process_chunk=process_chunk, shard=shard,
         )
     except FileNotFoundError as exc:
         sys.stderr.write(f"[main] Error: can not open file {exc.filename}\n")

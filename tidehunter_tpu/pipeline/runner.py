@@ -66,12 +66,17 @@ def run(
     out: Optional[IO[str]] = None,
     resume_cursor: Optional[str] = None,
     process_chunk=None,
+    shard: Optional[tuple] = None,
 ) -> RunMetrics:
     """Stream the input and emit results chunk by chunk, in input order.
 
     `process_chunk(chunk, mtp) -> list[TandemResult]` defaults to the
     sequential host oracle; the TPU engine injects its batched version.
-    """
+
+    `shard=(i, n)` makes this process consume reads i, i+n, i+2n, ... —
+    the multi-host data-parallel input sharding (SURVEY.md §5.8): each
+    host of a pod slice runs its own shard and writes its own output
+    file; ordering is preserved within each shard."""
     t0 = time.perf_counter()
     load_adapters(mtp)
     out = out if out is not None else mtp.out_stream()
@@ -101,9 +106,15 @@ def run(
                 json.dump({"chunks_done": chunk_i + 1, "reads": metrics.reads}, f)
             os.replace(tmp, resume_cursor)
 
+    records = read_fastx(read_fn)
+    if shard is not None:
+        si, sn = shard
+        records = (
+            rec for i, rec in enumerate(records) if i % sn == si
+        )
     chunks = (
         (ci, ch)
-        for ci, ch in enumerate(_chunks(read_fastx(read_fn), mtp.chunk_read_n))
+        for ci, ch in enumerate(_chunks(records, mtp.chunk_read_n))
         if ci >= skip_chunks
     )
 
