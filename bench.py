@@ -47,13 +47,15 @@ def synth_read(rng, unit_len=450, copies=9, err=0.10, flank=150):
 
 
 def main() -> int:
-    n_reads = int(os.environ.get("BENCH_READS", "512"))
+    n_reads = int(os.environ.get("BENCH_READS", "1024"))
     n_base = int(os.environ.get("BENCH_BASELINE_READS", "3"))
 
+    import tempfile
+
     from tidehunter_tpu.io.fastx import FastxRecord
-    from tidehunter_tpu.io.output import write_read_output
     from tidehunter_tpu.params import Params
     from tidehunter_tpu.engine import make_engine
+    from tidehunter_tpu.pipeline import runner
     from tidehunter_tpu.pipeline.core import tidehunter_core
 
     rng = np.random.default_rng(42)
@@ -63,22 +65,29 @@ def main() -> int:
     ]
 
     mtp = Params()
-    process_chunk = make_engine(mtp, platform="tpu")
+    # production path: pipelined runner (chunk N+1's host seed/chain
+    # overlaps chunk N's device rounds), streaming IO + serialization
+    mtp.chunk_read_n = max(64, n_reads // 2)
+    engine = make_engine(mtp, platform="tpu")
+
+    fa = tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False)
+    for rec in reads:
+        fa.write(f">{rec.name}\n{rec.seq}\n")
+    fa.close()
 
     # warmup: pays all kernel compiles AND warms the device RPC path — the
     # axon tunnel's first ~10 dispatch rounds carry connection-setup
-    # latency. A full-size warmup chunk covers every batch shape the
-    # measured chunk will dispatch (this platform recompiles per shape),
-    # so the measurement reflects steady-state multi-chunk throughput.
-    process_chunk(reads, mtp)
+    # latency. A full warmup run covers every batch shape the measured run
+    # will dispatch (this platform recompiles per shape), so the
+    # measurement reflects steady-state throughput.
+    runner.run(fa.name, mtp, out=io.StringIO(), process_chunk=engine)
 
     sink = io.StringIO()
     t0 = time.perf_counter()
-    results = process_chunk(reads, mtp)
-    for rec, res in zip(reads, results):
-        write_read_output(sink, rec.name, rec.seq, res, mtp)
+    metrics = runner.run(fa.name, mtp, out=sink, process_chunk=engine)
     dt = time.perf_counter() - t0
     reads_per_s = n_reads / dt
+    os.unlink(fa.name)
 
     # single-core host oracle baseline (CPU TideHunter stand-in)
     t0 = time.perf_counter()
@@ -87,7 +96,7 @@ def main() -> int:
     base_dt = (time.perf_counter() - t0) / n_base
     base_reads_per_s = 1.0 / base_dt
 
-    n_cons = sum(len(r.records) for r in results)
+    n_cons = metrics.cons_records
     print(
         f"# detail: {n_reads} reads in {dt:.2f}s; {n_cons} consensus records; "
         f"host-oracle baseline {base_reads_per_s:.3f} reads/s",

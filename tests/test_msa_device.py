@@ -42,10 +42,12 @@ def _mutate(rng, u, err):
 
 
 def _regions(seed=7, n_regions=40):
+    # unit lengths span exactly two T buckets (128 and 384): every extra
+    # bucket costs ~1 min of Mosaic kernel compilation on this platform
     rng = np.random.default_rng(seed)
     regions = []
     for _ in range(n_regions):
-        L = int(rng.integers(20, 400))
+        L = int(rng.integers(20, 250))
         unit = rng.integers(0, 4, L).astype(np.uint8)
         n = int(rng.integers(3, 12))
         regions.append([_mutate(rng, unit, 0.12) for _ in range(n)])

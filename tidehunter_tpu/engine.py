@@ -36,7 +36,11 @@ from .params import Params
 from .ops import ksw2
 from .ops.chaining_native import tandem_chain_native
 from .ops.msa_batch import star_msa_round
-from .ops.partition import partition_walk
+from .ops.partition import (
+    combine_walks,
+    partition_walk_left,
+    partition_walk_right,
+)
 from .ops.seeding import collect_tandem_repeat_hits
 from .pipeline.consensus import (
     resolve_oracle,
@@ -53,11 +57,14 @@ CELL_CAP = 160_000
 MSA_ROUNDS = 2
 
 
-def _shape_stable_b(n: int, BF: int) -> int:
-    """Round n up to BF * 2^k: the wavefront kernel runs fixed-B calls of
-    BF rows and device-concats the parts, so keeping the part count a power
-    of two bounds the set of concat shapes XLA ever compiles (a new shape
-    costs ~0.3-1.2 s on this cache-less platform; padding costs ~ms)."""
+def _shape_stable_b(n: int, BF: int, sub=None) -> int:
+    """Round n up to a shape-stable batch: a sub-shape below BF when the
+    kernel offers one (wavefront.sub_b — small rounds avoid padding 4x
+    into the full BF), else BF * 2^k so the set of concat shapes XLA ever
+    compiles stays finite (a new shape costs ~0.3-1.2 s on this cache-less
+    platform; padding costs ~ms)."""
+    if sub is not None and n <= BF:
+        return sub(n)
     parts = -(-n // BF)
     p2 = 1
     while p2 < parts:
@@ -174,7 +181,10 @@ class BatchAligner:
             placed: List[Tuple[List[int], int]] = []
             off = 0
             for (LQ, LT), idxs in groups.items():
-                B = _shape_stable_b(len(idxs), self.wf.fixed_b(LT))
+                B = _shape_stable_b(
+                    len(idxs), self.wf.fixed_b(LT),
+                    sub=lambda n, T=LT: self.wf.sub_b(T, n),
+                )
                 q, qlen, t, tlen = self._pad(reqs, idxs, LQ, LT, exact_B=B)
                 qle = np.zeros(B, np.int32)
                 for row, i in enumerate(idxs):
@@ -228,7 +238,10 @@ class BatchAligner:
             placed: List[Tuple[List[int], int]] = []
             off = 0
             for (LQ, LT), idxs in groups.items():
-                B = _shape_stable_b(len(idxs), self.wf.fixed_b(LT))
+                B = _shape_stable_b(
+                    len(idxs), self.wf.fixed_b(LT),
+                    sub=lambda n, T=LT: self.wf.sub_b(T, n),
+                )
                 q, qlen, t, tlen = self._pad(reqs, idxs, LQ, LT, exact_B=B)
                 _mx, mt, mq, _sc = self.wf.ext_batch(q, qlen, t, tlen, scores)
                 chunks.append(jnp.stack([mq, mt], axis=1))
@@ -544,21 +557,30 @@ class Engine:
         chunk, bseqs, read_chains = prepared
         results = [TandemResult() for _ in chunk]
 
-        # stage 2: partition walks, batched breadth-first
+        # stage 2: partition walks, batched breadth-first. The left and
+        # right halves of each chain's walk are independent, so both run
+        # as separate walkers — halving the stage's sequential round count.
         walkers = []
         walker_meta = []
+        chain_objs: Dict[Tuple[int, int], object] = {}
         for ri, rec in enumerate(chunk):
             dp, chains = read_chains[ri]
             for ci, ch in enumerate(chains):
-                walkers.append(
-                    _collect_gen(
-                        partition_walk(
-                            bseqs[ri], len(rec.seq), dp, ch, mtp.k, mtp.max_div
+                chain_objs[(ri, ci)] = ch
+                for side, walk in (
+                    (0, partition_walk_left),
+                    (1, partition_walk_right),
+                ):
+                    walkers.append(
+                        _collect_gen(
+                            walk(
+                                bseqs[ri], len(rec.seq), dp, ch,
+                                mtp.k, mtp.max_div,
+                            )
                         )
                     )
-                )
-                walker_meta.append((ri, ci))
-        par_results: Dict[Tuple[int, int], List[int]] = {}
+                    walker_meta.append((ri, ci, side))
+        halves: Dict[Tuple[int, int, int], List[int]] = {}
         holder: Dict[int, List[int]] = {}
 
         def resolve_global(reqs):
@@ -566,8 +588,13 @@ class Engine:
 
         with METRICS.timed("partition"):
             _drive_collect(walkers, resolve_global, holder)
-        for wi, (ri, ci) in enumerate(walker_meta):
-            par_results[(ri, ci)] = holder.get(wi)
+        for wi, key in enumerate(walker_meta):
+            halves[key] = holder.get(wi)
+        par_results: Dict[Tuple[int, int], List[int]] = {}
+        for (ri, ci), ch in chain_objs.items():
+            par_results[(ri, ci)] = combine_walks(
+                halves[(ri, ci, 0)], halves[(ri, ci, 1)], ch
+            )
 
         # stage 3: consensus, strictly sequential per read, batched across
         consensus_gens = []

@@ -150,13 +150,13 @@ int64_t th_chain(
             }
     qsort(rank, rn, sizeof(rank_t), rank_cmp);
 
+    /* chain cell buffers allocate lazily: typical reads produce 1-3
+     * chains, so eagerly mallocing TOP_N=1000 tot_n-sized buffers per
+     * read dominated the whole DP's runtime */
     chain_t *chains = (chain_t *)calloc(TOP_N, sizeof(chain_t));
     int64_t *chain_idx = (int64_t *)malloc(TOP_N * sizeof(int64_t));
-    for (i = 0; i < TOP_N; ++i) {
-        chains[i].cells = (int64_t *)malloc((tot_n > 0 ? tot_n : 1) * sizeof(int64_t));
-        chains[i].len = 0;
+    for (i = 0; i < TOP_N; ++i)
         chain_idx[i] = i;
-    }
     int64_t ch_n = 0;
 
     for (int64_t ri = 0; ri < rn && ch_n < TOP_N; ++ri) {
@@ -180,6 +180,9 @@ int64_t th_chain(
         /* backtrack_dp (tandem_chain.c:86-111) */
         if (!tracked[flat]) {
             chain_t *nc = &chains[ch_n];
+            if (nc->cells == NULL)
+                nc->cells = (int64_t *)malloc(
+                    (tot_n > 0 ? tot_n : 1) * sizeof(int64_t));
             int64_t sc = score[flat], cur = flat, len = 0;
             for (;;) {
                 tracked[cur] = 1;
@@ -249,7 +252,8 @@ int64_t th_chain(
         out_offsets[n_post] = cell_off;
     }
 
-    for (i = 0; i < TOP_N; ++i) free(chains[i].cells);
+    for (i = 0; i < TOP_N; ++i)
+        if (chains[i].cells) free(chains[i].cells);
     free(chains); free(chain_idx); free(rank);
     free(start); free(score); free(from); free(grp_of); free(tracked); free(gptr);
     return n_post;

@@ -222,12 +222,21 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
     ei = SCALE * gap_ext
     od = SCALE * gap_open
 
+    @jax.jit
+    def gather_step(units_dev, ulen_dev, nunits, k):
+        """Round-k unit gather, kept OUT of the fused round so the
+        U-dimension (units_dev.shape[1], which varies per region batch)
+        never appears in the Mosaic-bearing executable's shapes."""
+        active = k < nunits
+        unit_k = jnp.take(units_dev, k, axis=1).astype(jnp.int32)
+        qlen_k = jnp.where(active, jnp.take(ulen_dev, k, axis=1), 1
+                           ).astype(jnp.int32)
+        return unit_k, qlen_k, active
+
     @functools.partial(jax.jit, static_argnames=("lqplus",))
-    def scores_step(counts, n_placed, ncol, units_dev, ulen_dev, nunits, k,
-                    lqplus):
-        """One fused dispatch per round: substitution scores + deletion
-        prefix sums from counts, plus the round's unit row (gathered by the
-        traced round index k) padded into the DP's query buffer."""
+    def scores_step(counts, n_placed, ncol, unit_k, lqplus):
+        """Substitution scores + deletion prefix sums from counts, plus
+        the round's unit padded into the DP's query buffer."""
         B, T, _ = counts.shape
         ci = jnp.arange(T)[None, :]
         occ = counts.sum(axis=2)
@@ -241,12 +250,8 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
                                 jnp.maximum(n_placed, 1)[:, None])
         wdel = jnp.where(ci < ncol[:, None], wdel, 0).astype(jnp.int32)
         wl = jnp.cumsum(wdel, axis=1).astype(jnp.int32)
-        active = k < nunits
-        unit_k = jnp.take(units_dev, k, axis=1).astype(jnp.int32)
-        qlen_k = jnp.where(active, jnp.take(ulen_dev, k, axis=1), 1
-                           ).astype(jnp.int32)
         qbuf = jnp.pad(unit_k, ((0, 0), (0, lqplus - T)), constant_values=4)
-        return sub, wdel, wl, qbuf, unit_k, qlen_k, active
+        return sub, wdel, wl, qbuf
 
     @jax.jit
     def update_step(counts, n_placed, ncol, overflow, unit, qlen, active,
@@ -342,8 +347,8 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
                   | jnp.where(overflow[:, None], 16, 0)).astype(jnp.uint8)
         return packed, bc.astype(jnp.int16)
 
-    return (scores_step, update_step, consensus_step, init_step,
-            polish_update, (oi, ei, od))
+    return (gather_step, scores_step, update_step, consensus_step,
+            init_step, polish_update, (oi, ei, od))
 
 
 # --------------------------------------------------------------- driver --
@@ -359,12 +364,16 @@ def _tile_bt(T: int) -> int:
 
 def _dirs_b(T: int) -> int:
     """Fixed region-batch per profile bucket: dirs HBM footprint is
-    n_rows * B * T bytes (~0.5 GB budget). Bigger batches mean fewer
-    dispatches per unit round — dispatches, not compute, are the cost.
-    Always a multiple of _tile_bt(T) so the grid divides evenly."""
+    n_rows * B * T bytes (~0.5 GB budget). DP compute scales with B, so
+    oversizing the batch pads dead rows through every unit round — B is
+    kept near one VMEM tile and large region sets just run more batches
+    (each round is a single fused dispatch). Always a multiple of
+    _tile_bt(T) so the grid divides evenly."""
     bt = _tile_bt(T)
     raw = max(8, min(1024, 500_000_000 // (2 * T * T) // 8 * 8))
     return max(bt, raw // bt * bt)
+
+
 
 
 class DeviceMSA:
@@ -381,12 +390,13 @@ class DeviceMSA:
         (bit-exact with profile_consensus(..., polish=polish))."""
         self.buckets = tuple(sorted(buckets))
         self.polish = polish
-        (self.scores_step, self.update_step, self.consensus_step,
-         self.init_step, self.polish_update,
+        (self.gather_step, self.scores_step, self.update_step,
+         self.consensus_step, self.init_step, self.polish_update,
          (self.oi, self.ei, self.od)) = _build_jits(
             match, mismatch, gap_open, gap_ext)
         self._dp_runs: Dict[int, object] = {}
         self._bt_runs: Dict[int, object] = {}
+        self._round_fns: Dict[int, object] = {}
 
     def _bucket(self, n: int):
         for b in self.buckets:
@@ -471,6 +481,44 @@ class DeviceMSA:
         self._bt_runs[T] = (run, B, NL)
         return self._bt_runs[T]
 
+    def _round(self, T: int):
+        """Fused unit round (scores + DP + backtrack + update) as ONE jit:
+        nested jits inline, so each round is a single dispatch instead of
+        four. k arrives as a traced scalar — no per-k recompile."""
+        if T in self._round_fns:
+            return self._round_fns[T]
+        jax, jnp, _, _ = _modules()
+        run_dp, B, LQplus = self._dp_run(T)
+        run_bt, B2, NL = self._bt_run(T)
+        assert B == B2
+
+        @jax.jit
+        def round_fn(counts, n_placed, ncol, overflow,
+                     unit_k, qlen_k, active):
+            sub, wdel, wl, qbuf = self.scores_step(
+                counts, n_placed, ncol, unit_k, lqplus=LQplus)
+            dirs = run_dp(qbuf, sub, wl, wdel,
+                          qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
+            ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
+                             ncol.reshape(-1, 1))
+            return self.update_step(
+                counts, n_placed, ncol, overflow, unit_k, qlen_k, active,
+                ops_lvl)
+
+        @jax.jit
+        def polish_round_fn(votes, counts, n_placed, ncol,
+                            unit_k, qlen_k, active):
+            sub, wdel, wl, qbuf = self.scores_step(
+                counts, n_placed, ncol, unit_k, lqplus=LQplus)
+            dirs = run_dp(qbuf, sub, wl, wdel,
+                          qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
+            ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
+                             ncol.reshape(-1, 1))
+            return self.polish_update(votes, ncol, active, unit_k, ops_lvl)
+
+        self._round_fns[T] = (round_fn, polish_round_fn, B, LQplus, NL)
+        return self._round_fns[T]
+
     def consensus_batch(
         self, regions: List[List[np.ndarray]]
     ) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -488,20 +536,20 @@ class DeviceMSA:
             by_bucket.setdefault(b, []).append(ri)
 
         for T, idxs in by_bucket.items():
-            run_dp, B, LQplus = self._dp_run(T)
-            run_bt, B2, NL = self._bt_run(T)
-            assert B == B2
+            round_fn, polish_round_fn, B, LQplus, NL = self._round(T)
             for lo in range(0, len(idxs), B):
                 part = idxs[lo:lo + B]
                 res = self._one_batch(
-                    [regions[i] for i in part], T, B, LQplus, NL,
-                    run_dp, run_bt, jnp)
+                    [regions[i] for i in part], T, B,
+                    round_fn, polish_round_fn, jnp)
                 for i, r in zip(part, res):
                     out[i] = r
         return out
 
-    def _one_batch(self, regs, T, B, LQplus, NL, run_dp, run_bt, jnp):
+    def _one_batch(self, regs, T, B, round_fn, polish_round_fn, jnp):
         R = len(regs)
+        # U only shapes the cheap gather/init jits (compiled per distinct
+        # U, pure XLA); the Mosaic-bearing fused round is U-free
         U = max(len(units) for units in regs)
         units_arr = np.full((B, U, T), 4, np.uint8)
         ulen = np.zeros((B, U), np.int32)
@@ -520,35 +568,24 @@ class DeviceMSA:
         overflow = jnp.zeros(B, bool)
 
         nunits_dev = jnp.asarray(nunits)
-        for k in range(1, U):
-            sub, wdel, wl, qbuf, unit_k, qlen_k, active = self.scores_step(
-                counts, n_placed, ncol, units_dev, ulen_dev, nunits_dev,
-                k, lqplus=LQplus)
-            dirs = run_dp(qbuf, sub, wl, wdel,
-                          qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
-            ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
-                             ncol.reshape(-1, 1))
-            counts, n_placed, ncol, overflow = self.update_step(
-                counts, n_placed, ncol, overflow, unit_k, qlen_k, active,
-                ops_lvl)
+        max_units = int(nunits.max())
+        for k in range(1, max_units):
+            unit_k, qlen_k, active = self.gather_step(
+                units_dev, ulen_dev, nunits_dev, k)
+            counts, n_placed, ncol, overflow = round_fn(
+                counts, n_placed, ncol, overflow, unit_k, qlen_k, active)
 
         nunits_dev32 = nunits_dev.astype(jnp.int32)
         for _ in range(self.polish):
-            # frozen-layout refinement: scores_step reads the SAME counts
+            # frozen-layout refinement: the round reads the SAME counts
             # every k, so sub/wdel stay frozen while the unit gather walks
-            # k = 0..U-1 (k=0 realigns the first unit too)
+            # k = 0..max-1 (k=0 realigns the first unit too)
             votes = jnp.zeros_like(counts)
-            for k in range(U):
-                sub, wdel, wl, qbuf, unit_k, qlen_k, active = (
-                    self.scores_step(
-                        counts, n_placed, ncol, units_dev, ulen_dev,
-                        nunits_dev, k, lqplus=LQplus))
-                dirs = run_dp(qbuf, sub, wl, wdel,
-                              qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
-                ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
-                                 ncol.reshape(-1, 1))
-                votes = self.polish_update(
-                    votes, ncol, active, unit_k, ops_lvl)
+            for k in range(max_units):
+                unit_k, qlen_k, active = self.gather_step(
+                    units_dev, ulen_dev, nunits_dev, k)
+                votes = polish_round_fn(
+                    votes, counts, n_placed, ncol, unit_k, qlen_k, active)
             counts = votes
             n_placed = nunits_dev32
 

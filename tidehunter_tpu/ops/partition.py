@@ -30,7 +30,7 @@ AlignReq = Tuple[np.ndarray, np.ndarray, int]   # (query, target, q_left_ext)
 AlignRes = Tuple[int, int]                       # (iden_n, t_left_ext)
 
 
-def partition_walk(
+def partition_walk_left(
     bseq: np.ndarray,
     seq_len: int,
     dp: DpGrid,
@@ -38,15 +38,17 @@ def partition_walk(
     k: int,
     max_div: float,
 ) -> Generator[AlignReq, AlignRes, List[int]]:
-    """Generator form of the partition walk; returns par_pos."""
+    """Left half of the partition walk (partition.c:186-224); returns the
+    positions found walking left of the representative anchor, in
+    discovery order (caller reverses). Independent of the right half, so
+    the engine drives both concurrently — halving the sequential depth of
+    the chunk's partition stage."""
     est_ch_i = ch.est_ch_i
     est_start = ch.est_start
     est_period = ch.est_period
     first_end = int(dp.end[ch.cells[0]])
-    last_start = int(dp.start[ch.cells[-1]])
     par_pos: List[int] = []
 
-    # left extension: find S  (partition.c:186-224)
     ch_i, s, e = est_ch_i, est_start, est_start + est_period
     while s >= first_end and ch_i > 0:
         s2, e2 = s, e
@@ -80,12 +82,24 @@ def partition_walk(
                 break
             else:
                 s2, e2 = s1, e1
+    return par_pos
 
-    par_pos.reverse()
-    par_pos.append(est_start)
-    par_pos.append(est_start + est_period)
 
-    # right extension: find E  (partition.c:236-273)
+def partition_walk_right(
+    bseq: np.ndarray,
+    seq_len: int,
+    dp: DpGrid,
+    ch: Chain,
+    k: int,
+    max_div: float,
+) -> Generator[AlignReq, AlignRes, List[int]]:
+    """Right half of the partition walk (partition.c:236-273)."""
+    est_ch_i = ch.est_ch_i
+    est_start = ch.est_start
+    est_period = ch.est_period
+    last_start = int(dp.start[ch.cells[-1]])
+    par_pos: List[int] = []
+
     ch_i, s, e = est_ch_i, est_start, est_start + est_period
     while ch_i < len(ch.cells) - 1 and e <= last_start:
         s1, e1 = s, e
@@ -119,6 +133,30 @@ def partition_walk(
             else:
                 s1, e1 = s2, e2
     return par_pos
+
+
+def combine_walks(left: List[int], right: List[int], ch: Chain) -> List[int]:
+    """Assemble the full par_pos from the two half-walk results."""
+    return (
+        list(reversed(left))
+        + [ch.est_start, ch.est_start + ch.est_period]
+        + right
+    )
+
+
+def partition_walk(
+    bseq: np.ndarray,
+    seq_len: int,
+    dp: DpGrid,
+    ch: Chain,
+    k: int,
+    max_div: float,
+) -> Generator[AlignReq, AlignRes, List[int]]:
+    """Full partition walk (left then right, sequential); returns par_pos.
+    The engine uses the split halves directly to halve sequential depth."""
+    left = yield from partition_walk_left(bseq, seq_len, dp, ch, k, max_div)
+    right = yield from partition_walk_right(bseq, seq_len, dp, ch, k, max_div)
+    return combine_walks(left, right, ch)
 
 
 def _oracle_align(req: AlignReq) -> AlignRes:

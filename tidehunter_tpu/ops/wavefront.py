@@ -417,16 +417,41 @@ def _pad_rows(arrs, B, Bp, fills):
     return out
 
 
+def sub_b(T: int, n: int) -> int:
+    """Smallest shape-stable batch >= n: one of {BF/4, BF/2, BF} (each a
+    tile_b multiple) below fixed_b, else fixed_b multiples. Small dispatch
+    rounds (a few hundred rows) would otherwise pad 4x into the full BF
+    and pay 4x the kernel time; the two extra sub-shapes compile once."""
+    BF = fixed_b(T)
+    bt = tile_b(T)
+    for div in (4, 2):
+        cand = max(bt, BF // div // bt * bt)
+        if n <= cand and cand < BF:
+            return cand
+    return BF
+
+
 def global_batch(q, qlen, t, tlen, qle, scores=DEFAULT_SCORES, K=4):
     """(iden_n, t_left_ext) for a padded batch of global alignments.
 
     Any B; internally tiled to tile_b(T) rows per pallas grid step. Inputs
     are NumPy uint8 (shipped to the device as bytes, cast in-jit); outputs
-    stay on device (caller pulls once per round).
+    stay on device (caller pulls once per round). A batch that is already
+    a tile_b(T) multiple at or below fixed_b(T) runs at its own size
+    (sub-shape); anything else pads/splits at fixed_b(T).
     """
     B, LQ = q.shape
     T = t.shape[1]
     BF = fixed_b(T)
+    if B < BF and B % tile_b(T) == 0:
+        return _run_global(
+            jnp.asarray(np.asarray(q, np.uint8)),
+            jnp.asarray(np.asarray(t, np.uint8)),
+            jnp.asarray(np.asarray(qlen, np.int32)).reshape(-1, 1),
+            jnp.asarray(np.asarray(tlen, np.int32)).reshape(-1, 1),
+            jnp.asarray(np.asarray(qle, np.int32)).reshape(-1, 1),
+            LQ, T, K, tuple(scores),
+        )
     if B > BF:
         parts = [
             global_batch(q[i:i + BF], qlen[i:i + BF], t[i:i + BF],
@@ -454,6 +479,14 @@ def ext_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES, K=4):
     B, LQ = q.shape
     T = t.shape[1]
     BF = fixed_b(T)
+    if B < BF and B % tile_b(T) == 0:
+        return _run_ext(
+            jnp.asarray(np.asarray(q, np.uint8)),
+            jnp.asarray(np.asarray(t, np.uint8)),
+            jnp.asarray(np.asarray(qlen, np.int32)).reshape(-1, 1),
+            jnp.asarray(np.asarray(tlen, np.int32)).reshape(-1, 1),
+            LQ, T, K, tuple(scores),
+        )
     if B > BF:
         parts = [
             ext_batch(q[i:i + BF], qlen[i:i + BF], t[i:i + BF],
