@@ -225,7 +225,18 @@ class BatchAligner:
         return [r[0] for r in res]
 
     def run_ext(self, reqs, scores=KSW2_SCORES):
-        """reqs: [(q, t)] -> [(max_q, max_t)] (reverse beforehand for left)"""
+        """reqs: [(q, t)] -> [(max_q, max_t)] (reverse beforehand for left).
+
+        Targets are clamped to 2*len(q): an extension cell (t, q) scores
+        H <= min(q,t)+1 - (GO + GE*(t-q)) <= 2q - t - 1, so any cell with
+        H > 0 (the only ones the reference's max tracking can select,
+        ksw2_extz2_sse.c:224-260) has t < 2*len(q). Without the clamp a
+        short consensus vs a whole read flank lands in the largest length
+        bucket and pays its full T^2."""
+        reqs = [
+            (q, t[: 2 * max(1, len(q))]) if len(t) > 2 * len(q) else (q, t)
+            for q, t in reqs
+        ]
         out: List = [None] * len(reqs)
         groups, host = self._grouped(reqs)
         for i in host:

@@ -371,7 +371,9 @@ def _dirs_b(T: int) -> int:
     _tile_bt(T) so the grid divides evenly."""
     bt = _tile_bt(T)
     raw = max(8, min(1024, 500_000_000 // (2 * T * T) // 8 * 8))
-    return max(bt, raw // bt * bt)
+    if raw >= bt:
+        return raw // bt * bt
+    return raw  # big-T buckets: batch smaller than one VMEM tile
 
 
 
@@ -380,7 +382,8 @@ class DeviceMSA:
     """Batched profile-POA over fixed (T, B) shapes; one pull per batch."""
 
     def __init__(self, match, mismatch, gap_open, gap_ext, polish=0,
-                 buckets=(128, 256, 384, 512, 768, 1024, 1536, 2048)):
+                 buckets=(128, 256, 384, 512, 768, 1024, 1536, 2048,
+                          3072, 4096)):
         """Buckets are deliberately fine-grained: DP cost is ~2*T^2 per
         region, so a region spilling one bucket up pays the full ratio
         (768 -> 2048 would be 7x). Each bucket Mosaic-compiles its DP/BT
@@ -410,7 +413,7 @@ class DeviceMSA:
         jax, jnp, pl, pltpu = _modules()
         K = 4
         B = _dirs_b(T)
-        BT = min(B, _tile_bt(T))
+        BT = min(B, _tile_bt(T))  # B is a BT multiple by construction
         n_rows = 2 * T - 1
         NR = (n_rows + K - 1) // K
         LQplus = ((n_rows + 127) // 128) * 128 + 128
@@ -527,23 +530,33 @@ class DeviceMSA:
         import jax.numpy as jnp
 
         out: List = [None] * len(regions)
-        by_bucket: Dict[int, List[int]] = {}
+        todo: List[Tuple[int, int]] = []   # (region index, min bucket)
         for ri, units in enumerate(regions):
             cap = max(len(u) for u in units)
-            b = self._bucket(int(cap * 1.5) + 8)
-            if b is None:
-                continue
-            by_bucket.setdefault(b, []).append(ri)
+            # 1.3x column-growth margin; a region whose profile outgrows
+            # its bucket overflows and retries one bucket up (below), so
+            # the margin can stay tight — T^2 DP cost rewards it
+            todo.append((ri, int(cap * 1.3) + 8))
 
-        for T, idxs in by_bucket.items():
-            round_fn, polish_round_fn, B, LQplus, NL = self._round(T)
-            for lo in range(0, len(idxs), B):
-                part = idxs[lo:lo + B]
-                res = self._one_batch(
-                    [regions[i] for i in part], T, B,
-                    round_fn, polish_round_fn, jnp)
-                for i, r in zip(part, res):
-                    out[i] = r
+        while todo:
+            by_bucket: Dict[int, List[int]] = {}
+            for ri, need in todo:
+                b = self._bucket(need)
+                if b is not None:
+                    by_bucket.setdefault(b, []).append(ri)
+            todo = []
+            for T, idxs in by_bucket.items():
+                round_fn, polish_round_fn, B, LQplus, NL = self._round(T)
+                for lo in range(0, len(idxs), B):
+                    part = idxs[lo:lo + B]
+                    res = self._one_batch(
+                        [regions[i] for i in part], T, B,
+                        round_fn, polish_round_fn, jnp)
+                    for i, r in zip(part, res):
+                        if r is None:
+                            todo.append((i, T + 1))  # overflow: bucket up
+                        else:
+                            out[i] = r
         return out
 
     def _one_batch(self, regs, T, B, round_fn, polish_round_fn, jnp):

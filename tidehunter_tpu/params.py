@@ -96,7 +96,7 @@ class Params:
     read_bucket_sizes: tuple = (2048, 4096, 8192, 16384, 32768, 65536)
     # alignment buckets: few, square, 128-multiples — each size is one
     # Mosaic compile and the axon platform has no persistent compile cache
-    aln_bucket_sizes: tuple = (128, 640, 2048, 8192)
+    aln_bucket_sizes: tuple = (128, 640, 2048, 4096, 8192)
 
     @property
     def five_len(self) -> int:
