@@ -19,8 +19,10 @@ sequential per read; different reads interleave freely).
 Request kinds:
   ('global', q, t, qle) -> (iden_n, t_left_ext)     ksw2 scoring
   ('giden', q, t)       -> iden_n                   ksw2 scoring
+  ('gidens', [(q, t)])  -> [iden_n]                 batched variant
   ('ext', q, t)         -> (max_q, max_t)           ksw2 scoring
-  ('msa', units)        -> (cons, cov)              POA scoring, star-MSA
+  ('exts', [(q, t)])    -> [(max_q, max_t)]         batched variant
+  ('msa', units)        -> (cons, cov)              profile-POA
 """
 
 from __future__ import annotations
