@@ -502,7 +502,12 @@ class Engine:
                 )
                 profs[ri].update(u.astype(np.int64), ops)
             for b, gis in groups.items():
-                cap = fixed_batch_size(b)
+                # poa_pallas ships the whole batch as ONE un-tiled block;
+                # beyond B=512 the CPU pallas emulation returns wrong
+                # paths (observed at B=1024: backtrack col off by one on
+                # some rows — caught by tests/test_fuzz.py). 512 is also
+                # plenty for this fallback path.
+                cap = min(512, fixed_batch_size(b))
                 for lo in range(0, len(gis), cap):
                     part = gis[lo : lo + cap]
                     paths = poa_pallas.align_batch(
