@@ -12,8 +12,8 @@ matching the reference's per-chunk ordering guarantee).
 
 from __future__ import annotations
 
-import functools
-from typing import Iterator, Optional, Sequence, Tuple
+
+from typing import Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ gen_cons.c:227-233). Also implements the single-copy full-length path
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

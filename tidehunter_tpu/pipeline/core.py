@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import sys
 
-import numpy as np
+
 
 from ..io.codec import encode
 from ..io.output import TandemResult

@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import sys
+
 import time
 from typing import IO, Iterator, List, Optional
 
