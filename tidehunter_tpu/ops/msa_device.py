@@ -69,7 +69,8 @@ def _modules():
 def _make_dp_kernel(T: int, K: int, oi: int, ei: int, od: int):
     jax, jnp, pl, pltpu = _modules()
 
-    def kernel(qbuf_ref, sub_ref, wl_ref, wdel_ref, qlen_ref, ncol_ref,
+    def kernel(maxr_ref, qbuf_ref, sub_ref, wl_ref, wdel_ref, qlen_ref,
+               ncol_ref,
                dirs_ref,
                he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref):
         rk = pl.program_id(1)
@@ -77,6 +78,12 @@ def _make_dp_kernel(T: int, K: int, oi: int, ei: int, od: int):
         Lq = qlen_ref[:, 0:1]
         Tn = ncol_ref[:, 0:1]
         ti = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+        # rows beyond the batch-wide max(qlen + ncol - 1) hold no live
+        # cells (per-problem masks are all False there); skipping them
+        # saves the ~35% of ticks the bucket margin pads on. Their dirs
+        # rows stay unwritten — the backtrack's act mask (j + c == L)
+        # never selects levels above qlen + ncol, so junk is never read.
+        maxr = maxr_ref[0, 0]
 
         @pl.when(rk == 0)
         def _init():
@@ -92,71 +99,86 @@ def _make_dp_kernel(T: int, K: int, oi: int, ei: int, od: int):
 
         for kk in range(K):
             r = rk * K + kk
-            # unit base for the new diagonal cell: same window trick as
-            # ops/wavefront._qrow (query index = r - lane)
-            r_al = pl.multiple_of(r // 128 * 128, 128)
-            qwin = qbuf_ref[:, pl.ds(r_al, 128)]
-            lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
-            q_r = jnp.sum(
-                jnp.where(lane128 == (r - r_al), qwin, 0), axis=1,
-                keepdims=True)
-            qb = jnp.where(ti == 0, q_r, pltpu.roll(qrr_ref[:], 1, 1))
-            qrr_ref[:] = qb
 
-            # interior cell (j, c): lane t = c-1, j = r - t + 1
-            mask = ((ti <= r) & (ti >= r - Lq + 1) & (ti < Tn)
-                    & (r < Lq + Tn - 1))
-
-            s = sub_ref[:, 0, :]
-            for bb in range(1, 5):
-                s = jnp.where(qb == bb, sub_ref[:, bb, :], s)
-
-            if kk % 2 == 0:
-                hp2_ref, hp_ref = he_ref, ho_ref
-            else:
-                hp2_ref, hp_ref = ho_ref, he_ref
-
-            # M: H[j-1][c-1] at (r-2, t-1)
-            hm = pltpu.roll(hp2_ref[:], 1, 1)
-            hm = jnp.where(ti == 0, -(oi + r * ei), hm)       # c-1==0, j-1>=1
-            hm = jnp.where(
-                ti == r,
-                jnp.where(ti == 0, 0, -(od + Wl_sh)),         # j-1==0
-                hm)
-            M = hm + s
-
-            # E (insertion, consumes unit): refs at (r-1, t)
-            hp = hp_ref[:]
-            ep = e_ref[:]
-            h_up = jnp.where(ti == r, -(od + Wl), hp)         # j-1==0
-            e_up = jnp.where(ti == r, NEG, ep)
-            e_open = h_up - oi - ei
-            e_cont = e_up - ei
-            E = jnp.maximum(e_open, e_cont)
-            icont = e_cont > e_open
-
-            # F (deletion, consumes column): refs at (r-1, t-1)
-            g_sh = pltpu.roll(g_ref[:], 1, 1)
-            f_sh = pltpu.roll(f_ref[:], 1, 1)
-            g_sh = jnp.where(ti == 0, -(oi + (r + 1) * ei), g_sh)  # c-1==0
-            f_sh = jnp.where(ti == 0, NEG, f_sh)
-            wd = wdel_ref[:]
-            F = jnp.maximum(g_sh - od, f_sh) - wd
-            fcont = f_sh >= (g_sh - od)
-
-            G = jnp.maximum(M, E)
-            H = jnp.maximum(G, F)
-            sel = jnp.where(F > G, 2, jnp.where(E > M, 1, 0))
-            d = (sel | jnp.where(icont, 4, 0) | jnp.where(fcont, 8, 0)
-                 ).astype(jnp.uint8)
-
-            hp2_ref[:] = jnp.where(mask, H, hp2_ref[:])
-            e_ref[:] = jnp.where(mask, E, e_ref[:])
-            f_ref[:] = jnp.where(mask, F, f_ref[:])
-            g_ref[:] = jnp.where(mask, G, g_ref[:])
-            dirs_ref[kk] = jnp.where(mask, d, jnp.uint8(0))
+            @pl.when(r < maxr)
+            def _row(r=r, kk=kk):
+                _dp_one_row(
+                    jax, jnp, pl, pltpu, r, kk, T, oi, ei, od,
+                    qbuf_ref, sub_ref, wdel_ref, dirs_ref,
+                    he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
+                    Lq, Tn, ti, Wl, Wl_sh, B,
+                )
 
     return kernel
+
+
+def _dp_one_row(jax, jnp, pl, pltpu, r, kk, T, oi, ei, od,
+                qbuf_ref, sub_ref, wdel_ref, dirs_ref,
+                he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
+                Lq, Tn, ti, Wl, Wl_sh, B):
+    # unit base for the new diagonal cell: same window trick as
+    # ops/wavefront._qrow (query index = r - lane)
+    r_al = pl.multiple_of(r // 128 * 128, 128)
+    qwin = qbuf_ref[:, pl.ds(r_al, 128)]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+    q_r = jnp.sum(
+        jnp.where(lane128 == (r - r_al), qwin, 0), axis=1,
+        keepdims=True)
+    qb = jnp.where(ti == 0, q_r, pltpu.roll(qrr_ref[:], 1, 1))
+    qrr_ref[:] = qb
+
+    # interior cell (j, c): lane t = c-1, j = r - t + 1
+    mask = ((ti <= r) & (ti >= r - Lq + 1) & (ti < Tn)
+            & (r < Lq + Tn - 1))
+
+    s = sub_ref[:, 0, :]
+    for bb in range(1, 5):
+        s = jnp.where(qb == bb, sub_ref[:, bb, :], s)
+
+    if kk % 2 == 0:
+        hp2_ref, hp_ref = he_ref, ho_ref
+    else:
+        hp2_ref, hp_ref = ho_ref, he_ref
+
+    # M: H[j-1][c-1] at (r-2, t-1)
+    hm = pltpu.roll(hp2_ref[:], 1, 1)
+    hm = jnp.where(ti == 0, -(oi + r * ei), hm)       # c-1==0, j-1>=1
+    hm = jnp.where(
+        ti == r,
+        jnp.where(ti == 0, 0, -(od + Wl_sh)),         # j-1==0
+        hm)
+    M = hm + s
+
+    # E (insertion, consumes unit): refs at (r-1, t)
+    hp = hp_ref[:]
+    ep = e_ref[:]
+    h_up = jnp.where(ti == r, -(od + Wl), hp)         # j-1==0
+    e_up = jnp.where(ti == r, NEG, ep)
+    e_open = h_up - oi - ei
+    e_cont = e_up - ei
+    E = jnp.maximum(e_open, e_cont)
+    icont = e_cont > e_open
+
+    # F (deletion, consumes column): refs at (r-1, t-1)
+    g_sh = pltpu.roll(g_ref[:], 1, 1)
+    f_sh = pltpu.roll(f_ref[:], 1, 1)
+    g_sh = jnp.where(ti == 0, -(oi + (r + 1) * ei), g_sh)  # c-1==0
+    f_sh = jnp.where(ti == 0, NEG, f_sh)
+    wd = wdel_ref[:]
+    F = jnp.maximum(g_sh - od, f_sh) - wd
+    fcont = f_sh >= (g_sh - od)
+
+    G = jnp.maximum(M, E)
+    H = jnp.maximum(G, F)
+    sel = jnp.where(F > G, 2, jnp.where(E > M, 1, 0))
+    d = (sel | jnp.where(icont, 4, 0) | jnp.where(fcont, 8, 0)
+         ).astype(jnp.uint8)
+
+    hp2_ref[:] = jnp.where(mask, H, hp2_ref[:])
+    e_ref[:] = jnp.where(mask, E, e_ref[:])
+    f_ref[:] = jnp.where(mask, F, f_ref[:])
+    g_ref[:] = jnp.where(mask, G, g_ref[:])
+    dirs_ref[kk] = jnp.where(mask, d, jnp.uint8(0))
 
 
 # ----------------------------------------------------- backtrack kernel --
@@ -420,11 +442,13 @@ class DeviceMSA:
         kern = _make_dp_kernel(T, K, self.oi, self.ei, self.od)
 
         @jax.jit
-        def run(qbuf, sub, wl, wdel, qlen, ncol):
+        def run(maxr, qbuf, sub, wl, wdel, qlen, ncol):
             return pl.pallas_call(
                 kern,
                 grid=(B // BT, NR),
                 in_specs=[
+                    pl.BlockSpec((1, 1), lambda b, r: (0, 0),
+                                 memory_space=pltpu.SMEM),
                     pl.BlockSpec((BT, LQplus), lambda b, r: (b, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((BT, 5, T), lambda b, r: (b, 0, 0),
@@ -444,7 +468,7 @@ class DeviceMSA:
                 out_shape=jax.ShapeDtypeStruct((NR * K, B, T), jnp.uint8),
                 scratch_shapes=[pltpu.VMEM((BT, T), jnp.int32)
                                 for _ in range(6)],
-            )(qbuf, sub, wl, wdel, qlen, ncol)
+            )(maxr, qbuf, sub, wl, wdel, qlen, ncol)
 
         self._dp_runs[T] = (run, B, LQplus)
         return self._dp_runs[T]
@@ -500,7 +524,8 @@ class DeviceMSA:
                      unit_k, qlen_k, active):
             sub, wdel, wl, qbuf = self.scores_step(
                 counts, n_placed, ncol, unit_k, lqplus=LQplus)
-            dirs = run_dp(qbuf, sub, wl, wdel,
+            maxr = jnp.max(qlen_k + ncol).reshape(1, 1)
+            dirs = run_dp(maxr, qbuf, sub, wl, wdel,
                           qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
             ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
                              ncol.reshape(-1, 1))
@@ -513,7 +538,8 @@ class DeviceMSA:
                             unit_k, qlen_k, active):
             sub, wdel, wl, qbuf = self.scores_step(
                 counts, n_placed, ncol, unit_k, lqplus=LQplus)
-            dirs = run_dp(qbuf, sub, wl, wdel,
+            maxr = jnp.max(qlen_k + ncol).reshape(1, 1)
+            dirs = run_dp(maxr, qbuf, sub, wl, wdel,
                           qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
             ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
                              ncol.reshape(-1, 1))
