@@ -3,12 +3,30 @@ sharding/pjit paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE the CPU backend.  The environment pre-sets JAX_PLATFORMS=axon AND a
+# sitecustomize registers the axon TPU backend in every process in a way
+# that overrides the env var — so round 1's `setdefault` never worked and
+# the whole suite silently ran over the TPU tunnel (slow, stateful, and the
+# likely source of the round-1 flaky full-suite runs).  The only override
+# that sticks is jax.config.update BEFORE backend init, below.  Set
+# TH_TEST_TPU=1 to keep the ambient platform and run the hardware-gated
+# parity suites (test_wavefront TPU cases, test_msa_device).
+_USE_TPU = os.environ.get("TH_TEST_TPU", "") == "1"
+# Never share a persistent XLA compile cache with concurrent bench/TPU
+# processes.
+os.environ["TH_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+if not _USE_TPU:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu"
+    assert len(jax.devices()) == 8
 
 import pathlib
 

@@ -47,6 +47,27 @@ def _make_batch(rng, B, LQ, LT, sim):
     return q, qlen, t, tlen, qle, oracle
 
 
+def test_wavefront_interpret_smoke(monkeypatch):
+    """Pallas interpret-mode run on CPU: enforces the kernel-vs-oracle
+    parity contract in CPU-only CI (hardware runs remain the gate for
+    production shapes). Small tiles keep the interpreter fast."""
+    from tidehunter_tpu.ops import wavefront as WF
+
+    monkeypatch.setattr(WF, "INTERPRET", True)
+    monkeypatch.setattr(WF, "_TILE_CELLS", 1024)  # tile_b -> 8 rows
+    rng = np.random.default_rng(7)
+    B = WF.tile_b(32)
+    q, qlen, t, tlen, qle, oracle = _make_batch(rng, B, 32, 32, True)
+    giden, gtle = WF.global_batch(q, qlen, t, tlen, qle)
+    mx, mt, mq, sc = WF.ext_batch(q, qlen, t, tlen)
+    giden, gtle, mx, mt, mq, sc = map(
+        np.asarray, (giden, gtle, mx, mt, mq, sc)
+    )
+    for b, o in enumerate(oracle):
+        assert (giden[b], gtle[b]) == (o[0], o[1])
+        assert (mx[b], mt[b], mq[b], sc[b]) == (o[2], o[3], o[4], o[5])
+
+
 @pytest.mark.parametrize("seed,sim", [(0, True), (1, False)])
 def test_wavefront_matches_oracle(seed, sim):
     import jax

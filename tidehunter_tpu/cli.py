@@ -146,13 +146,25 @@ def parse_args(argv: List[str]):
             val = need_arg(tok)
             if val is None:
                 return 1
-            mtp.polish = int(val)
+            try:
+                mtp.polish = int(val)
+            except ValueError:
+                sys.stderr.write(
+                    f"\n[main] Error: --polish needs an integer, got '{val}'.\n"
+                )
+                return 1
         elif tok == "--shard":
             val = need_arg(tok)
             if val is None:
                 return 1
-            si, sn = val.split("/")
-            extra["shard"] = (int(si), int(sn))
+            try:
+                si, sn = val.split("/")
+                extra["shard"] = (int(si), int(sn))
+            except ValueError:
+                sys.stderr.write(
+                    f"\n[main] Error: --shard needs I/N (e.g. 0/4), got '{val}'.\n"
+                )
+                return 1
             if not (0 <= extra["shard"][0] < extra["shard"][1]):
                 sys.stderr.write("\n[main] Error: --shard needs 0 <= I < N.\n")
                 return 1
@@ -316,6 +328,28 @@ def main(argv: Optional[List[str]] = None) -> int:
         return parsed
     mtp, read_fn, extra = parsed
 
+    shard = extra["shard"]
+    if shard is None and extra["device"] in ("tpu", "cpu"):
+        # auto-shard under jax.distributed (multi-host pod slice); derive
+        # per-process output/resume paths so hosts on shared storage don't
+        # clobber one file with partial shards (each host writes its 1/N)
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                shard = (jax.process_index(), jax.process_count())
+                sfx = f".shard{shard[0]}-of-{shard[1]}"
+                note = ""
+                if extra["output"]:
+                    extra["output"] += sfx
+                    note += f"; output -> {extra['output']}"
+                if extra["resume"]:
+                    extra["resume"] += sfx
+                    note += f"; resume -> {extra['resume']}"
+                log(f"auto input shard {shard[0]}/{shard[1]}{note}")
+        except Exception:  # noqa: BLE001
+            pass
+
     out = None
     if extra["output"]:
         out = open(extra["output"], "w")
@@ -332,18 +366,6 @@ def main(argv: Optional[List[str]] = None) -> int:
             process_chunk = make_engine(mtp, platform=extra["device"])
         except Exception as exc:  # noqa: BLE001 - fall back to oracle path
             log(f"device engine unavailable ({exc}); using host oracle path")
-
-    shard = extra["shard"]
-    if shard is None and extra["device"] in ("tpu", "cpu"):
-        # auto-shard under jax.distributed (multi-host pod slice)
-        try:
-            import jax
-
-            if jax.process_count() > 1:
-                shard = (jax.process_index(), jax.process_count())
-                log(f"auto input shard {shard[0]}/{shard[1]}")
-        except Exception:  # noqa: BLE001
-            pass
 
     try:
         metrics = runner.run(

@@ -82,12 +82,21 @@ def fixed_batch_size(bucket: int) -> int:
 
 
 def _enable_compile_cache() -> None:
+    # Disabled under pytest: a shared persistent cache concurrently written
+    # by TPU bench runs corrupted reads for CPU test processes (round-1
+    # flaky 15/64 failures that passed in isolation).  The cache is also
+    # keyed per backend so cpu/tpu artifacts never collide.
+    if "PYTEST_CURRENT_TEST" in os.environ or os.environ.get(
+        "TH_NO_COMPILE_CACHE"
+    ):
+        return
     try:
         import jax
 
+        backend = jax.default_backend()
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/tidehunter_tpu_xla"),
+            os.path.expanduser(f"~/.cache/tidehunter_tpu_xla_{backend}"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001
@@ -352,6 +361,10 @@ class Engine:
             and m.mismatch <= 2 * (m.gap_open1 + m.gap_ext1)
         )
         self._pool = None
+        self._pool_n = 0
+        import atexit
+
+        atexit.register(self.close)
 
     # --- request resolution ---
 
@@ -410,9 +423,15 @@ class Engine:
         if self.msa_mode == "profile":
             if self.aligner.use_wavefront:
                 return self._resolve_msa_device(regions)
-            if getattr(self.mtp, "polish", 0) > 0:
-                # the CPU-device profile path has no polish rounds; the
-                # host oracle does (profile_consensus polish loop)
+            import jax
+
+            if (
+                getattr(self.mtp, "polish", 0) > 0
+                or jax.default_backend() != "tpu"
+            ):
+                # the CPU-device profile path has no polish rounds, and
+                # poa_pallas only lowers on the TPU backend — both cases
+                # take the bit-exact host oracle (profile_consensus)
                 return [
                     resolve_oracle(("msa", units), self.mtp)
                     for units in regions
@@ -558,13 +577,22 @@ class Engine:
             if n_workers > 1 and len(chunk) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
-                if self._pool is None or self._pool._max_workers != n_workers:
+                if self._pool is None or self._pool_n != n_workers:
+                    if self._pool is not None:
+                        self._pool.shutdown(wait=False)
                     self._pool = ThreadPoolExecutor(max_workers=n_workers)
+                    self._pool_n = n_workers
                 list(self._pool.map(_seed_chain, enumerate(chunk)))
             else:
                 for item in enumerate(chunk):
                     _seed_chain(item)
         return chunk, bseqs, read_chains
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+            self._pool_n = 0
 
     def process_chunk(self, chunk, mtp: Params) -> List[TandemResult]:
         return self.finish_chunk(self.prepare_chunk(chunk, mtp), mtp)

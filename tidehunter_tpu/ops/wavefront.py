@@ -55,6 +55,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .ksw2 import GAP_EXT, GAP_OPEN, MATCH_SC, MIS_SC
 
+# CPU-interpret escape hatch: set TH_PALLAS_INTERPRET=1 (or flip this
+# flag before calling) to run the kernels through the Pallas interpreter —
+# lets CPU-only CI enforce the kernel-vs-oracle parity contract at small
+# shapes (slow; hardware runs stay the real gate for production shapes).
+import os
+INTERPRET = os.environ.get("TH_PALLAS_INTERPRET", "") == "1"
+
 NEG_INF32 = -(1 << 30)
 DEFAULT_SCORES = (MATCH_SC, MIS_SC, GAP_OPEN, GAP_EXT)
 
@@ -243,6 +250,7 @@ def _run_global(q_u8, tgt_u8, qlen, tlen, qle, LQ, T, K, scores):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T), jnp.int32),
         scratch_shapes=[pltpu.VMEM((BT, T), jnp.int32) for _ in range(11)],
+        interpret=INTERPRET,
     )(qbuf, tgt, qlen, tlen, qle)
     packed = jnp.max(acc, axis=1)
     iden = packed >> TLB
@@ -345,6 +353,7 @@ def _run_ext(q_u8, tgt_u8, qlen, tlen, LQ, T, K, scores):
             jax.ShapeDtypeStruct((B, T), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((BT, T), jnp.int32) for _ in range(6)],
+        interpret=INTERPRET,
     )(qbuf, tgt, qlen, tlen)
 
     # post-pass: reference row-scan tie order for the winning row r*
