@@ -404,8 +404,8 @@ class DeviceMSA:
     """Batched profile-POA over fixed (T, B) shapes; one pull per batch."""
 
     def __init__(self, match, mismatch, gap_open, gap_ext, polish=0,
-                 buckets=(128, 256, 384, 512, 768, 1024, 1536, 2048,
-                          3072, 4096)):
+                 buckets=(128, 256, 384, 512, 640, 768, 896, 1024,
+                          1280, 1536, 2048, 3072, 4096)):
         """Buckets are deliberately fine-grained: DP cost is ~2*T^2 per
         region, so a region spilling one bucket up pays the full ratio
         (768 -> 2048 would be 7x). Each bucket Mosaic-compiles its DP/BT
@@ -559,10 +559,12 @@ class DeviceMSA:
         todo: List[Tuple[int, int]] = []   # (region index, min bucket)
         for ri, units in enumerate(regions):
             cap = max(len(u) for u in units)
-            # 1.3x column-growth margin; a region whose profile outgrows
-            # its bucket overflows and retries one bucket up (below), so
-            # the margin can stay tight — T^2 DP cost rewards it
-            todo.append((ri, int(cap * 1.3) + 8))
+            # 1.2x column-growth margin (measured profile growth on
+            # 10%-error R2C2 units: mean 1.15, max 1.17); a region whose
+            # profile outgrows its bucket overflows and retries one bucket
+            # up (below), so the margin can stay tight — T^2 DP cost and
+            # the finer bucket ladder reward it
+            todo.append((ri, int(cap * 1.2) + 8))
 
         while todo:
             by_bucket: Dict[int, List[int]] = {}
