@@ -80,3 +80,24 @@ def test_device_seeding_golden_counts(test_data):
     )
     for fn, (ge, gp) in zip(names, got):
         assert len(ge) == expected[fn], fn
+
+
+def test_engine_device_seed_matches_host(monkeypatch, test_data):
+    """Engine with device seeding == host-oracle pipeline on real data."""
+    monkeypatch.setenv("TH_DEVICE_SEED", "1")
+    from tidehunter_tpu.engine import Engine
+    from tidehunter_tpu.io.fastx import read_fastx
+    from tidehunter_tpu.params import Params
+    from tidehunter_tpu.pipeline.core import tidehunter_core
+
+    reads = list(read_fastx(str(test_data / "test_50x4.fa"))) + list(
+        read_fastx(str(test_data / "test_1000x10.fa"))
+    )
+    mtp = Params()
+    engine = Engine(mtp, platform="cpu")
+    results = engine(reads, mtp)
+    for rec, res in zip(reads, results):
+        want = tidehunter_core(rec.seq, mtp)
+        got = [(c.seq, c.start, c.end, tuple(c.sub_pos)) for c in res.records]
+        exp = [(c.seq, c.start, c.end, tuple(c.sub_pos)) for c in want.records]
+        assert got == exp

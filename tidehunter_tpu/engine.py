@@ -112,7 +112,13 @@ class BatchAligner:
         _enable_compile_cache()
         self.buckets = sorted(buckets)
         backend = jax.default_backend()
-        self.use_wavefront = platform == "tpu" and backend == "tpu"
+        # TH_FORCE_WAVEFRONT=1: run the production Pallas path on a
+        # non-TPU backend through the interpreter (multi-chip dryrun /
+        # CPU parity tests); pair it with TH_PALLAS_INTERPRET=1.
+        force = os.environ.get("TH_FORCE_WAVEFRONT", "") == "1"
+        self.use_wavefront = platform == "tpu" and (
+            backend == "tpu" or force
+        )
         if self.use_wavefront:
             from .ops import ksw2_pallas as kmod
             from .ops import wavefront
@@ -343,13 +349,24 @@ def _drive(gens: List, resolver) -> None:
 
 
 class Engine:
-    def __init__(self, mtp: Params, platform: str = "tpu", msa_mode: str = "profile"):
+    def __init__(self, mtp: Params, platform: str = "tpu",
+                 msa_mode: str = "profile", mesh=None):
         """msa_mode: 'profile' = batched device profile-POA (bit-exact with
         ops/poa_profile.py, matches or beats graph-POA accuracy),
         'poa' = host oracles, 'star' = device star-MSA (legacy, weaker on
-        insertion recovery)."""
+        insertion recovery).
+
+        mesh: optional 1-D jax.sharding.Mesh ('dp'); when set, the
+        production wavefront and device-MSA batches shard over it (the
+        pthread fan-out role of reference src/main.c:273-291 per SURVEY
+        §5.8) — batch shapes scale with the mesh so per-chip work is
+        constant."""
         self.mtp = mtp
         self.msa_mode = msa_mode
+        self.mesh = mesh
+        from .parallel.mesh import set_active_mesh
+
+        set_active_mesh(mesh)
         self.aligner = BatchAligner(platform, mtp.aln_bucket_sizes)
         m = mtp
         self.poa_scores = (m.match, -m.mismatch, m.gap_open1, m.gap_ext1)
@@ -466,7 +483,7 @@ class Engine:
             m = self.mtp
             self._device_msa = DeviceMSA(
                 m.match, m.mismatch, m.gap_open1, m.gap_ext1,
-                polish=getattr(m, "polish", 0),
+                polish=getattr(m, "polish", 0), mesh=self.mesh,
             )
         results = self._device_msa.consensus_batch(regions)
         from .ops.poa_profile import profile_consensus
@@ -553,10 +570,26 @@ class Engine:
     # with chunk N's device work.
 
     def prepare_chunk(self, chunk, mtp: Params):
-        """Stage 1: seed + chain (host). The native chain DP (ctypes)
-        releases the GIL, and seeding is NumPy-releasing too, so the
-        reference's read-parallel threading model (src/main.c:273-291)
-        maps onto a plain thread pool here."""
+        """Stage 1: seed + chain. The native chain DP (ctypes) releases
+        the GIL, and seeding is NumPy-releasing too, so the reference's
+        read-parallel threading model (src/main.c:273-291) maps onto a
+        plain thread pool here.
+
+        Device seeding (ops/seeding_jax.py) replaces the host seeder when
+        a mesh is installed or TH_DEVICE_SEED=1: with N chips per host the
+        1-core host becomes the feed bottleneck, so seeding moves to the
+        chips (bit-exact, tests/test_seeding_jax.py).  Single-chip default
+        stays host-side — there the device is the bottleneck and host
+        seeding rides the pipelined overlap for free."""
+        device_hits = None
+        use_dev_seed = mtp.w == 1 and (
+            self.mesh is not None
+            or os.environ.get("TH_DEVICE_SEED", "") == "1"
+        )
+        if use_dev_seed:
+            with METRICS.timed("device_seed"):
+                device_hits = self._device_seed(chunk, mtp)
+
         bseqs = [None] * len(chunk)
         read_chains = [None] * len(chunk)
 
@@ -567,9 +600,12 @@ class Engine:
                 return
             bseq = encode(rec.seq)
             bseqs[ri] = bseq
-            ends, periods = collect_tandem_repeat_hits(
-                bseq, mtp.k, mtp.w, mtp.hpc, mtp.min_p, mtp.max_p
-            )
+            if device_hits is not None:
+                ends, periods = device_hits[ri]
+            else:
+                ends, periods = collect_tandem_repeat_hits(
+                    bseq, mtp.k, mtp.w, mtp.hpc, mtp.min_p, mtp.max_p
+                )
             read_chains[ri] = tandem_chain_native(ends, periods, mtp.k)
 
         with METRICS.timed("seed_chain"):
@@ -587,6 +623,52 @@ class Engine:
                 for item in enumerate(chunk):
                     _seed_chain(item)
         return chunk, bseqs, read_chains
+
+    def _device_seed(self, chunk, mtp: Params):
+        """One batched device seeding call for the whole chunk.
+
+        Shapes stay finite: L pads to the next power of two (>= 1024) and
+        B to the next multiple of 64 * mesh_n; rows shard over the 'dp'
+        mesh when installed (row-independent sort dataflow — no
+        collectives)."""
+        import jax.numpy as jnp
+
+        from .ops.seeding_jax import collect_hits_batch
+
+        n = len(chunk)
+        g = 64 * (1 if self.mesh is None else int(self.mesh.devices.size))
+        B = max(g, -(-n // g) * g)
+        maxL = max((len(r.seq) for r in chunk), default=1)
+        L = 1024
+        while L < maxL:
+            L *= 2
+        batch = np.full((B, L), 4, np.uint8)
+        lens = np.zeros(B, np.int32)
+        for i, rec in enumerate(chunk):
+            b = encode(rec.seq)
+            batch[i, : len(b)] = b
+            lens[i] = len(b)
+        args = (jnp.asarray(batch), jnp.asarray(lens))
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s = NamedSharding(self.mesh, P("dp"))
+            args = tuple(jax.device_put(a, s) for a in args)
+        ends, periods, cnt = collect_hits_batch(
+            *args, k=mtp.k, use_hpc=bool(mtp.hpc),
+            min_p=mtp.min_p, max_p=mtp.max_p,
+        )
+        ends = np.asarray(ends)
+        periods = np.asarray(periods)
+        cnt = np.asarray(cnt)
+        return [
+            (
+                ends[i, : cnt[i]].astype(np.int64),
+                periods[i, : cnt[i]].astype(np.int64),
+            )
+            for i in range(n)
+        ]
 
     def close(self) -> None:
         if self._pool is not None:
@@ -703,10 +785,29 @@ def _drive_collect(gens, resolver, holder: Dict[int, object]) -> None:
                 holder[kk] = stop.value
 
 
-def make_engine(mtp: Params, platform: str = "tpu") -> Engine:
+def make_engine(mtp: Params, platform: str = "tpu", mesh=None) -> Engine:
     """Returns the Engine; it is callable as process_chunk(chunk, mtp) and
     additionally exposes prepare_chunk/finish_chunk for the pipelined
-    runner (host work of chunk N+1 overlaps device work of chunk N)."""
-    engine = Engine(mtp, platform)
-    log(f"device engine ready (platform={platform})")
+    runner (host work of chunk N+1 overlaps device work of chunk N).
+
+    mesh: explicit 1-D 'dp' Mesh, or None to auto-build one over all
+    local devices when more than one is visible (TH_MESH=n overrides the
+    device count; TH_MESH=1 disables auto-meshing)."""
+    if mesh is None and platform in ("tpu", "cpu"):
+        try:
+            import jax
+
+            n = int(os.environ.get("TH_MESH", "0")) or len(jax.devices())
+            if n > 1:
+                from .parallel.mesh import make_mesh
+
+                mesh = make_mesh(n)
+        except Exception:  # noqa: BLE001
+            mesh = None
+    engine = Engine(mtp, platform, mesh=mesh)
+    log(
+        f"device engine ready (platform={platform}"
+        + (f", mesh=dp:{mesh.devices.size}" if mesh is not None else "")
+        + ")"
+    )
     return engine

@@ -53,6 +53,16 @@ from .poa_profile import SCALE
 NEG = -(1 << 30)
 OP_M, OP_I, OP_D, OP_PAD = 0, 1, 2, 3
 
+# CPU-interpret escape hatch (see ops/wavefront.py INTERPRET): lets the
+# multi-chip dryrun and CPU CI run these kernels through the Pallas
+# interpreter on a virtual device mesh.
+import os
+INTERPRET = os.environ.get("TH_PALLAS_INTERPRET", "") == "1"
+
+# Test/dryrun override: cap the per-shard region batch (interpret mode is
+# ~1000x slower than hardware; production leaves this None).
+_B_CAP = None
+
 
 def _modules():
     import jax
@@ -393,6 +403,9 @@ def _dirs_b(T: int) -> int:
     _tile_bt(T) so the grid divides evenly."""
     bt = _tile_bt(T)
     raw = max(8, min(1024, 500_000_000 // (2 * T * T) // 8 * 8))
+    if _B_CAP is not None:
+        raw = min(raw, max(8, _B_CAP))
+        return raw if raw < bt else raw // bt * bt
     if raw >= bt:
         return raw // bt * bt
     return raw  # big-T buckets: batch smaller than one VMEM tile
@@ -405,7 +418,7 @@ class DeviceMSA:
 
     def __init__(self, match, mismatch, gap_open, gap_ext, polish=0,
                  buckets=(128, 256, 384, 512, 640, 768, 896, 1024,
-                          1280, 1536, 2048, 3072, 4096)):
+                          1280, 1536, 2048, 3072, 4096), mesh=None):
         """Buckets are deliberately fine-grained: DP cost is ~2*T^2 per
         region, so a region spilling one bucket up pays the full ratio
         (768 -> 2048 would be 7x). Each bucket Mosaic-compiles its DP/BT
@@ -415,6 +428,12 @@ class DeviceMSA:
         (bit-exact with profile_consensus(..., polish=polish))."""
         self.buckets = tuple(sorted(buckets))
         self.polish = polish
+        # 1-D 'dp' mesh: region batches shard over it; each chip runs the
+        # fused round's pallas kernels on its own shard under
+        # jax.shard_map (no collectives: regions are independent, the
+        # reference's pthread fan-out role per SURVEY §5.8)
+        self.mesh = mesh
+        self.mesh_n = 1 if mesh is None else int(mesh.devices.size)
         (self.gather_step, self.scores_step, self.update_step,
          self.consensus_step, self.init_step, self.polish_update,
          (self.oi, self.ei, self.od)) = _build_jits(
@@ -468,6 +487,7 @@ class DeviceMSA:
                 out_shape=jax.ShapeDtypeStruct((NR * K, B, T), jnp.uint8),
                 scratch_shapes=[pltpu.VMEM((BT, T), jnp.int32)
                                 for _ in range(6)],
+                interpret=INTERPRET,
             )(maxr, qbuf, sub, wl, wdel, qlen, ncol)
 
         self._dp_runs[T] = (run, B, LQplus)
@@ -503,6 +523,7 @@ class DeviceMSA:
                 out_shape=jax.ShapeDtypeStruct((B, NL), jnp.int8),
                 scratch_shapes=[pltpu.VMEM((BT, 1), jnp.int32)
                                 for _ in range(3)],
+                interpret=INTERPRET,
             )(dirs, qlen, ncol)
 
         self._bt_runs[T] = (run, B, NL)
@@ -519,7 +540,6 @@ class DeviceMSA:
         run_bt, B2, NL = self._bt_run(T)
         assert B == B2
 
-        @jax.jit
         def round_fn(counts, n_placed, ncol, overflow,
                      unit_k, qlen_k, active):
             sub, wdel, wl, qbuf = self.scores_step(
@@ -533,7 +553,6 @@ class DeviceMSA:
                 counts, n_placed, ncol, overflow, unit_k, qlen_k, active,
                 ops_lvl)
 
-        @jax.jit
         def polish_round_fn(votes, counts, n_placed, ncol,
                             unit_k, qlen_k, active):
             sub, wdel, wl, qbuf = self.scores_step(
@@ -545,7 +564,31 @@ class DeviceMSA:
                              ncol.reshape(-1, 1))
             return self.polish_update(votes, ncol, active, unit_k, ops_lvl)
 
-        self._round_fns[T] = (round_fn, polish_round_fn, B, LQplus, NL)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s = NamedSharding(self.mesh, P("dp"))
+
+            def _smap(fn, n_in, n_out):
+                m = jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P("dp"),) * n_in,
+                    out_specs=(P("dp"),) * n_out if n_out > 1 else P("dp"),
+                    check_vma=False,
+                )
+                return jax.jit(
+                    m, in_shardings=(s,) * n_in,
+                    out_shardings=(s,) * n_out if n_out > 1 else s,
+                )
+
+            round_fn = _smap(round_fn, 7, 4)
+            polish_round_fn = _smap(polish_round_fn, 7, 1)
+        else:
+            round_fn = jax.jit(round_fn)
+            polish_round_fn = jax.jit(polish_round_fn)
+
+        self._round_fns[T] = (round_fn, polish_round_fn,
+                              B * self.mesh_n, LQplus, NL)
         return self._round_fns[T]
 
     def consensus_batch(

@@ -70,6 +70,9 @@ TLMASK = (1 << TLB) - 1
 
 # VMEM cell budget per tile (scratch+accumulator buffers * BT * T * 4B)
 _TILE_CELLS = 64 * 1024
+# per-chip fixed-batch cell budget (see fixed_b); test/dryrun harnesses
+# shrink both so interpret-mode batches stay small
+_FIXED_CELLS = 1_048_576
 
 
 def tile_b(T: int) -> int:
@@ -224,8 +227,7 @@ def _global_kernel(
         acc_ref[:] = jnp.where(hit, A0, acc_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("LQ", "T", "K", "scores"))
-def _run_global(q_u8, tgt_u8, qlen, tlen, qle, LQ, T, K, scores):
+def _run_global_body(q_u8, tgt_u8, qlen, tlen, qle, LQ, T, K, scores):
     B = tgt_u8.shape[0]
     BT = tile_b(T)
     NB = B // BT
@@ -323,8 +325,7 @@ def _ext_kernel(
         sacc_ref[:] = jnp.where(hit, H1, sacc_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("LQ", "T", "K", "scores"))
-def _run_ext(q_u8, tgt_u8, qlen, tlen, LQ, T, K, scores):
+def _run_ext_body(q_u8, tgt_u8, qlen, tlen, LQ, T, K, scores):
     B = tgt_u8.shape[0]
     BT = tile_b(T)
     NB = B // BT
@@ -395,6 +396,58 @@ def _run_ext(q_u8, tgt_u8, qlen, tlen, LQ, T, K, scores):
 # ------------------------------------------------------------ public API --
 
 
+_run_global = functools.partial(jax.jit, static_argnames=("LQ", "T", "K", "scores"))(_run_global_body)
+_run_ext = functools.partial(jax.jit, static_argnames=("LQ", "T", "K", "scores"))(_run_ext_body)
+
+
+def _mesh_n() -> int:
+    from ..parallel.mesh import active_mesh_n
+
+    return active_mesh_n()
+
+
+def _mesh():
+    from ..parallel.mesh import active_mesh
+
+    return active_mesh()
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_global(mesh, LQ, T, K, scores):
+    """jit(shard_map(_run_global_body)) over the 'dp' batch axis.
+
+    The kernel is per-row independent (the reference's pthread fan-out
+    role, main.c:273-291, per SURVEY §5.8): no collectives — each chip
+    runs its batch shard through its own pallas grid; results stay
+    sharded and are pulled once by the caller."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    body = functools.partial(_run_global_body, LQ=LQ, T=T, K=K, scores=scores)
+    smap = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("dp"),) * 5,
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    s = NamedSharding(mesh, P("dp"))
+    return jax.jit(smap, in_shardings=(s,) * 5, out_shardings=(s, s))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_ext(mesh, LQ, T, K, scores):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    body = functools.partial(_run_ext_body, LQ=LQ, T=T, K=K, scores=scores)
+    smap = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("dp"),) * 4,
+        out_specs=(P("dp"),) * 4,
+        check_vma=False,
+    )
+    s = NamedSharding(mesh, P("dp"))
+    return jax.jit(smap, in_shardings=(s,) * 4, out_shardings=(s,) * 4)
+
+
 def _make_qbuf(q: jnp.ndarray, LT: int) -> jnp.ndarray:
     """[B, LQ] -> int32 query padded with 4s so every 128-aligned window
     load qbuf[:, r_al:r_al+128] is in-bounds."""
@@ -408,12 +461,14 @@ def _make_qbuf(q: jnp.ndarray, LT: int) -> jnp.ndarray:
 def fixed_b(T: int) -> int:
     """ONE batch shape per (bucket, variant): Mosaic compiles cost seconds
     on this platform and do not persist, so every call pads (or splits)
-    to exactly this B. Sized for ~20-50 ms of DP per call (the kernel runs
-    at 15-180 Gcell/s, so a mostly-padding call is still cheaper than one
-    XLA shape compile); always a multiple of tile_b(T) (the grid drops any
-    remainder tile)."""
+    to exactly this B. Sized for ~20-50 ms of DP per call PER CHIP (the
+    kernel runs at 15-180 Gcell/s, so a mostly-padding call is still
+    cheaper than one XLA shape compile); always a multiple of the mesh
+    granularity tile_b(T) * n_chips (each chip's shard must hold whole
+    grid tiles), and scales with the mesh so per-chip work is constant."""
     bt = tile_b(T)
-    return bt * max(1, 1_048_576 // max(T, 160) // bt)
+    per_chip = bt * max(1, _FIXED_CELLS // max(T, 160) // bt)
+    return per_chip * _mesh_n()
 
 
 def _pad_rows(arrs, B, Bp, fills):
@@ -428,13 +483,14 @@ def _pad_rows(arrs, B, Bp, fills):
 
 def sub_b(T: int, n: int) -> int:
     """Smallest shape-stable batch >= n: one of {BF/4, BF/2, BF} (each a
-    tile_b multiple) below fixed_b, else fixed_b multiples. Small dispatch
-    rounds (a few hundred rows) would otherwise pad 4x into the full BF
-    and pay 4x the kernel time; the two extra sub-shapes compile once."""
+    mesh-granularity multiple) below fixed_b, else fixed_b multiples.
+    Small dispatch rounds (a few hundred rows) would otherwise pad 4x into
+    the full BF and pay 4x the kernel time; the two extra sub-shapes
+    compile once."""
     BF = fixed_b(T)
-    bt = tile_b(T)
+    g = tile_b(T) * _mesh_n()
     for div in (4, 2):
-        cand = max(bt, BF // div // bt * bt)
+        cand = max(g, BF // div // g * g)
         if n <= cand and cand < BF:
             return cand
     return BF
@@ -452,15 +508,22 @@ def global_batch(q, qlen, t, tlen, qle, scores=DEFAULT_SCORES, K=4):
     B, LQ = q.shape
     T = t.shape[1]
     BF = fixed_b(T)
-    if B < BF and B % tile_b(T) == 0:
-        return _run_global(
-            jnp.asarray(np.asarray(q, np.uint8)),
-            jnp.asarray(np.asarray(t, np.uint8)),
-            jnp.asarray(np.asarray(qlen, np.int32)).reshape(-1, 1),
-            jnp.asarray(np.asarray(tlen, np.int32)).reshape(-1, 1),
-            jnp.asarray(np.asarray(qle, np.int32)).reshape(-1, 1),
-            LQ, T, K, tuple(scores),
+    mesh = _mesh()
+
+    def _dispatch_global(q_, t_, qlen_, tlen_, qle_):
+        args = (
+            jnp.asarray(np.asarray(q_, np.uint8)),
+            jnp.asarray(np.asarray(t_, np.uint8)),
+            jnp.asarray(np.asarray(qlen_, np.int32)).reshape(-1, 1),
+            jnp.asarray(np.asarray(tlen_, np.int32)).reshape(-1, 1),
+            jnp.asarray(np.asarray(qle_, np.int32)).reshape(-1, 1),
         )
+        if mesh is not None:
+            return _sharded_global(mesh, LQ, T, K, tuple(scores))(*args)
+        return _run_global(*args, LQ, T, K, tuple(scores))
+
+    if B < BF and B % (tile_b(T) * _mesh_n()) == 0:
+        return _dispatch_global(q, t, qlen, tlen, qle)
     if B > BF:
         parts = [
             global_batch(q[i:i + BF], qlen[i:i + BF], t[i:i + BF],
@@ -475,11 +538,7 @@ def global_batch(q, qlen, t, tlen, qle, scores=DEFAULT_SCORES, K=4):
          np.asarray(qle, np.int32)],
         B, BF, [4, 4, 1, 1, 0],
     )
-    iden, tleft = _run_global(
-        jnp.asarray(q), jnp.asarray(t),
-        jnp.asarray(qlen).reshape(-1, 1), jnp.asarray(tlen).reshape(-1, 1),
-        jnp.asarray(qle).reshape(-1, 1), LQ, T, K, tuple(scores),
-    )
+    iden, tleft = _dispatch_global(q, t, qlen, tlen, qle)
     return iden[:B], tleft[:B]
 
 
@@ -488,14 +547,21 @@ def ext_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES, K=4):
     B, LQ = q.shape
     T = t.shape[1]
     BF = fixed_b(T)
-    if B < BF and B % tile_b(T) == 0:
-        return _run_ext(
-            jnp.asarray(np.asarray(q, np.uint8)),
-            jnp.asarray(np.asarray(t, np.uint8)),
-            jnp.asarray(np.asarray(qlen, np.int32)).reshape(-1, 1),
-            jnp.asarray(np.asarray(tlen, np.int32)).reshape(-1, 1),
-            LQ, T, K, tuple(scores),
+    mesh = _mesh()
+
+    def _dispatch_ext(q_, t_, qlen_, tlen_):
+        args = (
+            jnp.asarray(np.asarray(q_, np.uint8)),
+            jnp.asarray(np.asarray(t_, np.uint8)),
+            jnp.asarray(np.asarray(qlen_, np.int32)).reshape(-1, 1),
+            jnp.asarray(np.asarray(tlen_, np.int32)).reshape(-1, 1),
         )
+        if mesh is not None:
+            return _sharded_ext(mesh, LQ, T, K, tuple(scores))(*args)
+        return _run_ext(*args, LQ, T, K, tuple(scores))
+
+    if B < BF and B % (tile_b(T) * _mesh_n()) == 0:
+        return _dispatch_ext(q, t, qlen, tlen)
     if B > BF:
         parts = [
             ext_batch(q[i:i + BF], qlen[i:i + BF], t[i:i + BF],
@@ -510,9 +576,5 @@ def ext_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES, K=4):
          np.asarray(qlen, np.int32), np.asarray(tlen, np.int32)],
         B, BF, [4, 4, 1, 1],
     )
-    mx, mt, mq, sc = _run_ext(
-        jnp.asarray(q), jnp.asarray(t),
-        jnp.asarray(qlen).reshape(-1, 1), jnp.asarray(tlen).reshape(-1, 1),
-        LQ, T, K, tuple(scores),
-    )
+    mx, mt, mq, sc = _dispatch_ext(q, t, qlen, tlen)
     return mx[:B], mt[:B], mq[:B], sc[:B]

@@ -29,6 +29,29 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), axis_names=("dp",))
 
 
+# --- active mesh registry -------------------------------------------------
+#
+# The production kernels (ops/wavefront.py, ops/msa_device.py) consult this
+# to (a) scale their fixed batch shapes by the mesh size and (b) route
+# their pallas calls through jax.shard_map over the 'dp' axis.  One mesh
+# per process: the engine installs it at construction (make_engine).
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+def active_mesh_n() -> int:
+    return 1 if _ACTIVE_MESH is None else int(_ACTIVE_MESH.devices.size)
+
+
 def shard_batch(mesh: Mesh, *arrays):
     """Place arrays with their leading (batch) axis sharded over 'dp'."""
     out = []
