@@ -440,20 +440,14 @@ class Engine:
         if self.msa_mode == "profile":
             if self.aligner.use_wavefront:
                 return self._resolve_msa_device(regions)
-            import jax
-
-            if (
-                getattr(self.mtp, "polish", 0) > 0
-                or jax.default_backend() != "tpu"
-            ):
-                # the CPU-device profile path has no polish rounds, and
-                # poa_pallas only lowers on the TPU backend — both cases
-                # take the bit-exact host oracle (profile_consensus)
-                return [
-                    resolve_oracle(("msa", units), self.mtp)
-                    for units in regions
-                ]
-            return self._resolve_msa_profile(regions)
+            # non-wavefront platforms take the bit-exact host oracle.
+            # (The legacy poa_pallas ping-pong path that used to live here
+            # was single-affine only and carried a known B>512 wrongness
+            # caveat; DeviceMSA is the production device MSA.)
+            return [
+                resolve_oracle(("msa", units), self.mtp)
+                for units in regions
+            ]
         if not self.poa_on_device:
             return [resolve_oracle(("msa", units), self.mtp) for units in regions]
         templates = [units[0].astype(np.uint8) for units in regions]
@@ -484,6 +478,7 @@ class Engine:
             self._device_msa = DeviceMSA(
                 m.match, m.mismatch, m.gap_open1, m.gap_ext1,
                 polish=getattr(m, "polish", 0), mesh=self.mesh,
+                gap_open2=m.gap_open2, gap_ext2=m.gap_ext2,
             )
         results = self._device_msa.consensus_batch(regions)
         from .ops.poa_profile import profile_consensus
@@ -494,74 +489,9 @@ class Engine:
                 results[ri] = profile_consensus(
                     regions[ri], m.match, m.mismatch, m.gap_open1,
                     m.gap_ext1, polish=getattr(m, "polish", 0),
+                    gap_open2=m.gap_open2, gap_ext2=m.gap_ext2,
                 )
         return results
-
-    def _resolve_msa_profile(self, regions: List[List[np.ndarray]]):
-        """Batched device profile-POA: unit k of every region aligns to its
-        region's profile in one bucketed kernel round (ops/poa_pallas.py);
-        profile updates are vectorized host NumPy. Bit-exact with the host
-        reference (ops/poa_profile.py)."""
-        from .ops import poa_pallas
-        from .ops.poa_profile import Profile
-
-        m = self.mtp
-        profs = [Profile(np.asarray(units[0], np.int64)) for units in regions]
-        max_units = max(len(units) for units in regions)
-        for k in range(1, max_units):
-            live = [ri for ri, units in enumerate(regions) if k < len(units)]
-            if not live:
-                break
-            jobs = []
-            for ri in live:
-                prof = profs[ri]
-                u = np.asarray(regions[ri][k], np.uint8)
-                sub = prof.sub_scores(m.match, m.mismatch)
-                wdel = prof.del_weights(m.gap_ext1)
-                jobs.append((ri, u, sub, np.cumsum(wdel)))
-            # bucket by required (LQ, T)
-            groups: Dict[int, List[int]] = {}
-            oversize: List[int] = []
-            for gi, (ri, u, sub, W) in enumerate(jobs):
-                b = self.aligner._bucket(max(len(u), sub.shape[0]))
-                if b is None:
-                    oversize.append(gi)
-                else:
-                    groups.setdefault(b, []).append(gi)
-            for gi in oversize:
-                ri, u, sub, W = jobs[gi]
-                from .ops.poa_profile import align_to_profile
-
-                wdel = np.diff(np.concatenate(([0], W)))
-                ops = align_to_profile(
-                    u.astype(np.int64), sub, wdel, m.gap_open1, m.gap_ext1
-                )
-                profs[ri].update(u.astype(np.int64), ops)
-            for b, gis in groups.items():
-                # poa_pallas ships the whole batch as ONE un-tiled block;
-                # beyond B=512 the CPU pallas emulation returns wrong
-                # paths (observed at B=1024: backtrack col off by one on
-                # some rows — caught by tests/test_fuzz.py). 512 is also
-                # plenty for this fallback path.
-                cap = min(512, fixed_batch_size(b))
-                for lo in range(0, len(gis), cap):
-                    part = gis[lo : lo + cap]
-                    paths = poa_pallas.align_batch(
-                        [jobs[gi][1] for gi in part],
-                        [jobs[gi][2] for gi in part],
-                        [jobs[gi][3] for gi in part],
-                        LQ=b,
-                        T=b,
-                        gap_open=m.gap_open1,
-                        gap_ext=m.gap_ext1,
-                        B=cap,
-                    )
-                    for gi, (ops, cols, qpos) in zip(part, paths):
-                        ri, u, _, _ = jobs[gi]
-                        profs[ri].update_arrays(
-                            u.astype(np.int64), ops, cols, qpos
-                        )
-        return [prof.consensus() for prof in profs]
 
     # --- chunk processing ---
     #

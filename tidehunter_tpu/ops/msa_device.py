@@ -76,13 +76,16 @@ def _modules():
 # ------------------------------------------------------------ DP kernel --
 
 
-def _make_dp_kernel(T: int, K: int, oi: int, ei: int, od: int):
+def _make_dp_kernel(T: int, K: int, oi: int, ei: int, od: int,
+                    oi2: int, ei2: int, od2: int):
     jax, jnp, pl, pltpu = _modules()
 
-    def kernel(maxr_ref, qbuf_ref, sub_ref, wl_ref, wdel_ref, qlen_ref,
+    def kernel(maxr_ref, qbuf_ref, sub_ref, wl_ref, wdel_ref,
+               wl2_ref, wdel2_ref, qlen_ref,
                ncol_ref,
                dirs_ref,
-               he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref):
+               he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
+               e2_ref, f2_ref):
         rk = pl.program_id(1)
         B = wl_ref.shape[0]
         Lq = qlen_ref[:, 0:1]
@@ -103,9 +106,13 @@ def _make_dp_kernel(T: int, K: int, oi: int, ei: int, od: int):
             f_ref[:] = jnp.full((B, T), NEG, jnp.int32)
             g_ref[:] = jnp.full((B, T), NEG, jnp.int32)
             qrr_ref[:] = jnp.full((B, T), 4, jnp.int32)
+            e2_ref[:] = jnp.full((B, T), NEG, jnp.int32)
+            f2_ref[:] = jnp.full((B, T), NEG, jnp.int32)
 
         Wl = wl_ref[:]
         Wl_sh = jnp.where(ti == 0, 0, pltpu.roll(Wl, 1, 1))
+        Wl2 = wl2_ref[:]
+        Wl2_sh = jnp.where(ti == 0, 0, pltpu.roll(Wl2, 1, 1))
 
         for kk in range(K):
             r = rk * K + kk
@@ -113,19 +120,23 @@ def _make_dp_kernel(T: int, K: int, oi: int, ei: int, od: int):
             @pl.when(r < maxr)
             def _row(r=r, kk=kk):
                 _dp_one_row(
-                    jax, jnp, pl, pltpu, r, kk, T, oi, ei, od,
-                    qbuf_ref, sub_ref, wdel_ref, dirs_ref,
+                    jax, jnp, pl, pltpu, r, kk, T,
+                    (oi, ei, od, oi2, ei2, od2),
+                    qbuf_ref, sub_ref, wdel_ref, wdel2_ref, dirs_ref,
                     he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
-                    Lq, Tn, ti, Wl, Wl_sh, B,
+                    e2_ref, f2_ref,
+                    Lq, Tn, ti, Wl, Wl_sh, Wl2, Wl2_sh, B,
                 )
 
     return kernel
 
 
-def _dp_one_row(jax, jnp, pl, pltpu, r, kk, T, oi, ei, od,
-                qbuf_ref, sub_ref, wdel_ref, dirs_ref,
+def _dp_one_row(jax, jnp, pl, pltpu, r, kk, T, costs,
+                qbuf_ref, sub_ref, wdel_ref, wdel2_ref, dirs_ref,
                 he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
-                Lq, Tn, ti, Wl, Wl_sh, B):
+                e2_ref, f2_ref,
+                Lq, Tn, ti, Wl, Wl_sh, Wl2, Wl2_sh, B):
+    oi, ei, od, oi2, ei2, od2 = costs
     # unit base for the new diagonal cell: same window trick as
     # ops/wavefront._qrow (query index = r - lane)
     r_al = pl.multiple_of(r // 128 * 128, 128)
@@ -150,43 +161,69 @@ def _dp_one_row(jax, jnp, pl, pltpu, r, kk, T, oi, ei, od,
     else:
         hp2_ref, hp_ref = ho_ref, he_ref
 
+    # convex (dual-affine) boundaries: best pure-insertion of g bases =
+    # -min(oi+g*ei, oi2+g*ei2); best pure-deletion of a column prefix =
+    # -min(od+W1, od2+W2)  (abPOA contract, reference src/abpoa_cons.c:15-20)
+    def ins0(g):
+        return jnp.maximum(-(oi + g * ei), -(oi2 + g * ei2))
+
     # M: H[j-1][c-1] at (r-2, t-1)
     hm = pltpu.roll(hp2_ref[:], 1, 1)
-    hm = jnp.where(ti == 0, -(oi + r * ei), hm)       # c-1==0, j-1>=1
+    hm = jnp.where(ti == 0, ins0(r), hm)              # c-1==0, j-1>=1
     hm = jnp.where(
         ti == r,
-        jnp.where(ti == 0, 0, -(od + Wl_sh)),         # j-1==0
+        jnp.where(ti == 0, 0,
+                  jnp.maximum(-(od + Wl_sh), -(od2 + Wl2_sh))),  # j-1==0
         hm)
     M = hm + s
 
-    # E (insertion, consumes unit): refs at (r-1, t)
+    # E (insertion, consumes unit): refs at (r-1, t); two tracks
     hp = hp_ref[:]
-    ep = e_ref[:]
-    h_up = jnp.where(ti == r, -(od + Wl), hp)         # j-1==0
-    e_up = jnp.where(ti == r, NEG, ep)
+    h_up = jnp.where(
+        ti == r, jnp.maximum(-(od + Wl), -(od2 + Wl2)), hp)  # j-1==0
+    e_up = jnp.where(ti == r, NEG, e_ref[:])
     e_open = h_up - oi - ei
     e_cont = e_up - ei
-    E = jnp.maximum(e_open, e_cont)
-    icont = e_cont > e_open
+    E1 = jnp.maximum(e_open, e_cont)
+    icont1 = e_cont > e_open
+    e2_up = jnp.where(ti == r, NEG, e2_ref[:])
+    e2_open = h_up - oi2 - ei2
+    e2_cont = e2_up - ei2
+    E2 = jnp.maximum(e2_open, e2_cont)
+    icont2 = e2_cont > e2_open
+    E = jnp.maximum(E1, E2)
+    isel2 = E2 > E1
 
-    # F (deletion, consumes column): refs at (r-1, t-1)
+    # F (deletion, consumes column): refs at (r-1, t-1); two tracks
     g_sh = pltpu.roll(g_ref[:], 1, 1)
+    g_sh = jnp.where(ti == 0, ins0(r + 1), g_sh)      # c-1==0
     f_sh = pltpu.roll(f_ref[:], 1, 1)
-    g_sh = jnp.where(ti == 0, -(oi + (r + 1) * ei), g_sh)  # c-1==0
     f_sh = jnp.where(ti == 0, NEG, f_sh)
     wd = wdel_ref[:]
-    F = jnp.maximum(g_sh - od, f_sh) - wd
-    fcont = f_sh >= (g_sh - od)
+    F1 = jnp.maximum(g_sh - od, f_sh) - wd
+    fcont1 = f_sh >= (g_sh - od)
+    f2_sh = pltpu.roll(f2_ref[:], 1, 1)
+    f2_sh = jnp.where(ti == 0, NEG, f2_sh)
+    wd2 = wdel2_ref[:]
+    F2 = jnp.maximum(g_sh - od2, f2_sh) - wd2
+    fcont2 = f2_sh >= (g_sh - od2)
+    F = jnp.maximum(F1, F2)
+    fsel2 = F2 > F1
 
     G = jnp.maximum(M, E)
     H = jnp.maximum(G, F)
     sel = jnp.where(F > G, 2, jnp.where(E > M, 1, 0))
-    d = (sel | jnp.where(icont, 4, 0) | jnp.where(fcont, 8, 0)
+    d = (sel
+         | jnp.where(icont1, 4, 0) | jnp.where(fcont1, 8, 0)
+         | jnp.where(isel2, 16, 0) | jnp.where(fsel2, 32, 0)
+         | jnp.where(icont2, 64, 0) | jnp.where(fcont2, 128, 0)
          ).astype(jnp.uint8)
 
     hp2_ref[:] = jnp.where(mask, H, hp2_ref[:])
-    e_ref[:] = jnp.where(mask, E, e_ref[:])
-    f_ref[:] = jnp.where(mask, F, f_ref[:])
+    e_ref[:] = jnp.where(mask, E1, e_ref[:])
+    e2_ref[:] = jnp.where(mask, E2, e2_ref[:])
+    f_ref[:] = jnp.where(mask, F1, f_ref[:])
+    f2_ref[:] = jnp.where(mask, F2, f2_ref[:])
     g_ref[:] = jnp.where(mask, G, g_ref[:])
     dirs_ref[kk] = jnp.where(mask, d, jnp.uint8(0))
 
@@ -224,22 +261,41 @@ def _make_bt_kernel(T: int, NL: int):
             jnp.where(ti == c - 1, dirs_ref[0].astype(jnp.int32), 0),
             axis=1, keepdims=True)
         d = val & 3
-        icont = (val >> 2) & 1
-        fcont = (val >> 3) & 1
-        sel = jnp.where(mode > 0, mode, d)
+        icont1 = (val >> 2) & 1
+        fcont1 = (val >> 3) & 1
+        isel2 = (val >> 4) & 1
+        fsel2 = (val >> 5) & 1
+        icont2 = (val >> 6) & 1
+        fcont2 = (val >> 7) & 1
+        # mode: -1 fresh; 1 = I run track 1; 2 = D run track 1;
+        #        3 = I run track 2; 4 = D run track 2  (runs commit to a
+        # track at entry — the convex model's per-run min)
+        in_run = mode > 0
+        run_is_i = in_run & ((mode == 1) | (mode == 3))
+        run_is_d = in_run & ((mode == 2) | (mode == 4))
+        sel = jnp.where(run_is_i, 1, jnp.where(run_is_d, 2, d))
         sel = jnp.where(at_top, 2, jnp.where(at_left, 1, sel))
         is_m = sel == 0
         is_i = sel == 1
+        is_d = sel == 2
         op = jnp.where(is_m, OP_M, jnp.where(is_i, OP_I, OP_D))
 
         ops_ref[:] = jnp.where(
             act & (lnl == L), op.astype(jnp.int8), ops_ref[:])
+        # track of the current step: run keeps its entry track; a fresh
+        # I/D step picks by isel2/fsel2 of this cell
+        i_trk2 = jnp.where(in_run, (mode == 3).astype(jnp.int32), isel2)
+        d_trk2 = jnp.where(in_run, (mode == 4).astype(jnp.int32), fsel2)
+        icont = jnp.where(i_trk2 == 1, icont2, icont1)
+        fcont = jnp.where(d_trk2 == 1, fcont2, fcont1)
         nmode = jnp.where(
             is_m, -1,
-            jnp.where(is_i, jnp.where(icont == 1, 1, -1),
-                      jnp.where(fcont == 1, 2, -1)))
+            jnp.where(
+                is_i,
+                jnp.where(icont == 1, jnp.where(i_trk2 == 1, 3, 1), -1),
+                jnp.where(fcont == 1, jnp.where(d_trk2 == 1, 4, 2), -1)))
         j_ref[:] = jnp.where(act, j - jnp.where(is_m | is_i, 1, 0), j)
-        c_ref[:] = jnp.where(act, c - jnp.where(is_m | (sel == 2), 1, 0), c)
+        c_ref[:] = jnp.where(act, c - jnp.where(is_m | is_d, 1, 0), c)
         mode_ref[:] = jnp.where(act, nmode, mode)
 
     return kernel
@@ -248,11 +304,15 @@ def _make_bt_kernel(T: int, NL: int):
 # ------------------------------------------------------------ jit steps --
 
 
-def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
+def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
+                gap_open2: int, gap_ext2: int):
     jax, jnp, _, _ = _modules()
     oi = SCALE * gap_open
     ei = SCALE * gap_ext
     od = SCALE * gap_open
+    oi2 = SCALE * gap_open2
+    ei2 = SCALE * gap_ext2
+    od2 = SCALE * gap_open2
 
     @jax.jit
     def gather_step(units_dev, ulen_dev, nunits, k):
@@ -282,8 +342,12 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
                                 jnp.maximum(n_placed, 1)[:, None])
         wdel = jnp.where(ci < ncol[:, None], wdel, 0).astype(jnp.int32)
         wl = jnp.cumsum(wdel, axis=1).astype(jnp.int32)
+        wdel2 = jnp.floor_divide(SCALE * gap_ext2 * occ,
+                                 jnp.maximum(n_placed, 1)[:, None])
+        wdel2 = jnp.where(ci < ncol[:, None], wdel2, 0).astype(jnp.int32)
+        wl2 = jnp.cumsum(wdel2, axis=1).astype(jnp.int32)
         qbuf = jnp.pad(unit_k, ((0, 0), (0, lqplus - T)), constant_values=4)
-        return sub, wdel, wl, qbuf
+        return sub, wdel, wl, wdel2, wl2, qbuf
 
     @jax.jit
     def update_step(counts, n_placed, ncol, overflow, unit, qlen, active,
@@ -380,7 +444,7 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
         return packed, bc.astype(jnp.int16)
 
     return (gather_step, scores_step, update_step, consensus_step,
-            init_step, polish_update, (oi, ei, od))
+            init_step, polish_update, (oi, ei, od, oi2, ei2, od2))
 
 
 # --------------------------------------------------------------- driver --
@@ -388,10 +452,10 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int):
 
 def _tile_bt(T: int) -> int:
     """Rows per grid block, from the DP kernel's real VMEM bill:
-    qbuf ~2T+256, sub 5T, wl+wdel 2T, 6 scratch 6T (all int32, x4B) plus
-    the K*BT*T uint8 dirs block => ~BT*(64T+1024) bytes; budget 12 MB of
-    the 16 MB VMEM."""
-    return max(8, 12_000_000 // (64 * T + 1024) // 8 * 8)
+    qbuf ~2T+256, sub 5T, wl/wdel/wl2/wdel2 4T, 8 scratch 8T (all int32,
+    x4B) plus the K*BT*T uint8 dirs block => ~BT*(80T+1024) bytes; budget
+    12 MB of the 16 MB VMEM."""
+    return max(8, 12_000_000 // (80 * T + 1024) // 8 * 8)
 
 
 def _dirs_b(T: int) -> int:
@@ -418,7 +482,8 @@ class DeviceMSA:
 
     def __init__(self, match, mismatch, gap_open, gap_ext, polish=0,
                  buckets=(128, 256, 384, 512, 640, 768, 896, 1024,
-                          1280, 1536, 2048, 3072, 4096), mesh=None):
+                          1280, 1536, 2048, 3072, 4096), mesh=None,
+                 gap_open2=None, gap_ext2=None):
         """Buckets are deliberately fine-grained: DP cost is ~2*T^2 per
         region, so a region spilling one bucket up pays the full ratio
         (768 -> 2048 would be 7x). Each bucket Mosaic-compiles its DP/BT
@@ -434,10 +499,16 @@ class DeviceMSA:
         # reference's pthread fan-out role per SURVEY §5.8)
         self.mesh = mesh
         self.mesh_n = 1 if mesh is None else int(mesh.devices.size)
+        if gap_open2 is None:
+            # single-affine callers: track 2 strictly dominated (same
+            # extension, open too large to ever win within one bucket)
+            gap_open2 = gap_open + gap_ext * (2 * self.buckets[-1] + 2)
+            gap_ext2 = gap_ext
         (self.gather_step, self.scores_step, self.update_step,
          self.consensus_step, self.init_step, self.polish_update,
-         (self.oi, self.ei, self.od)) = _build_jits(
-            match, mismatch, gap_open, gap_ext)
+         (self.oi, self.ei, self.od, self.oi2, self.ei2, self.od2)
+         ) = _build_jits(
+            match, mismatch, gap_open, gap_ext, gap_open2, gap_ext2)
         self._dp_runs: Dict[int, object] = {}
         self._bt_runs: Dict[int, object] = {}
         self._round_fns: Dict[int, object] = {}
@@ -458,10 +529,13 @@ class DeviceMSA:
         n_rows = 2 * T - 1
         NR = (n_rows + K - 1) // K
         LQplus = ((n_rows + 127) // 128) * 128 + 128
-        kern = _make_dp_kernel(T, K, self.oi, self.ei, self.od)
+        kern = _make_dp_kernel(T, K, self.oi, self.ei, self.od,
+                               self.oi2, self.ei2, self.od2)
 
         @jax.jit
-        def run(maxr, qbuf, sub, wl, wdel, qlen, ncol):
+        def run(maxr, qbuf, sub, wl, wdel, wl2, wdel2, qlen, ncol):
+            row = pl.BlockSpec((BT, T), lambda b, r: (b, 0),
+                               memory_space=pltpu.VMEM)
             return pl.pallas_call(
                 kern,
                 grid=(B // BT, NR),
@@ -472,10 +546,7 @@ class DeviceMSA:
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((BT, 5, T), lambda b, r: (b, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((BT, T), lambda b, r: (b, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((BT, T), lambda b, r: (b, 0),
-                                 memory_space=pltpu.VMEM),
+                    row, row, row, row,
                     pl.BlockSpec((BT, 1), lambda b, r: (b, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((BT, 1), lambda b, r: (b, 0),
@@ -486,9 +557,9 @@ class DeviceMSA:
                     memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((NR * K, B, T), jnp.uint8),
                 scratch_shapes=[pltpu.VMEM((BT, T), jnp.int32)
-                                for _ in range(6)],
+                                for _ in range(8)],
                 interpret=INTERPRET,
-            )(maxr, qbuf, sub, wl, wdel, qlen, ncol)
+            )(maxr, qbuf, sub, wl, wdel, wl2, wdel2, qlen, ncol)
 
         self._dp_runs[T] = (run, B, LQplus)
         return self._dp_runs[T]
@@ -542,10 +613,10 @@ class DeviceMSA:
 
         def round_fn(counts, n_placed, ncol, overflow,
                      unit_k, qlen_k, active):
-            sub, wdel, wl, qbuf = self.scores_step(
+            sub, wdel, wl, wdel2, wl2, qbuf = self.scores_step(
                 counts, n_placed, ncol, unit_k, lqplus=LQplus)
             maxr = jnp.max(qlen_k + ncol).reshape(1, 1)
-            dirs = run_dp(maxr, qbuf, sub, wl, wdel,
+            dirs = run_dp(maxr, qbuf, sub, wl, wdel, wl2, wdel2,
                           qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
             ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
                              ncol.reshape(-1, 1))
@@ -555,10 +626,10 @@ class DeviceMSA:
 
         def polish_round_fn(votes, counts, n_placed, ncol,
                             unit_k, qlen_k, active):
-            sub, wdel, wl, qbuf = self.scores_step(
+            sub, wdel, wl, wdel2, wl2, qbuf = self.scores_step(
                 counts, n_placed, ncol, unit_k, lqplus=LQplus)
             maxr = jnp.max(qlen_k + ncol).reshape(1, 1)
-            dirs = run_dp(maxr, qbuf, sub, wl, wdel,
+            dirs = run_dp(maxr, qbuf, sub, wl, wdel, wl2, wdel2,
                           qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
             ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
                              ncol.reshape(-1, 1))

@@ -58,7 +58,8 @@ class Profile:
         return raw // occ  # match*cnt - mismatch*(occ-cnt), averaged
 
     def del_weights(self, gap_ext: int) -> np.ndarray:
-        """[ncol] fixed-point per-column deletion extension cost."""
+        """[ncol] fixed-point per-column deletion extension cost (one
+        track; call once per gap-extension penalty for dual-affine)."""
         occ = self.occ()
         return (SCALE * gap_ext * occ) // self.n_placed
 
@@ -129,62 +130,116 @@ def align_to_profile(
     wdel: np.ndarray,      # [T] fixed-point deletion extension costs
     gap_open: int,
     gap_ext: int,
+    gap_open2: int | None = None,
+    gap_ext2: int | None = None,
+    wdel2: np.ndarray | None = None,
 ) -> List[Tuple[str, int, int]]:
     """Gotoh DP of unit vs profile; returns the op path for Profile.update.
 
-    Insertion costs are uniform fixed-point (SCALE*(open + g*ext)); the
-    deletion track uses per-column weights via the prefix-sum trick.
+    Gap model: single affine by default; pass (gap_open2, gap_ext2,
+    wdel2) for the abPOA convex (dual-affine) contract
+    min{O1 + g*E1, O2 + g*E2} (reference src/abpoa_cons.c:15-20,
+    README.md:154-157) — each gap run commits to one track; the two
+    insertion tracks use uniform fixed-point costs and the two deletion
+    tracks use per-column occupancy weights via independent prefix-sum
+    cummax runs.  Tie order: M, then I (track 1 over track 2), then D
+    (track 1 over track 2) — mirrored exactly by the device kernel
+    (ops/msa_device.py).
     """
     T = len(wdel)
     Lq = len(unit)
-    O_i = SCALE * gap_open
-    E_i = SCALE * gap_ext
-    O_d = SCALE * gap_open
-    W = np.concatenate(([0], np.cumsum(wdel)))  # W[c] = cost of cols 1..c
+    dual = gap_open2 is not None
+    O_i1 = SCALE * gap_open
+    E_i1 = SCALE * gap_ext
+    O_d1 = SCALE * gap_open
+    W1 = np.concatenate(([0], np.cumsum(wdel)))
+    if dual:
+        O_i2 = SCALE * gap_open2
+        E_i2 = SCALE * gap_ext2
+        O_d2 = SCALE * gap_open2
+        W2 = np.concatenate(([0], np.cumsum(wdel2)))
+
+    def ins_cost(g):
+        c1 = O_i1 + g * E_i1
+        if dual:
+            return np.minimum(c1, O_i2 + g * E_i2)
+        return c1
 
     if Lq == 0:
         return [("D", c, -1) for c in range(T)]
 
     # H[j][c], c in 0..T; row-major over j
     H = np.empty((Lq + 1, T + 1), np.int64)
-    E = np.full(T + 1, NEG, np.int64)  # insertion track (consumes unit)
-    bt = np.zeros((Lq + 1, T + 1), np.uint8)  # bits 0-1: 0=M 1=I 2=D; bit 2: I-cont
-    fopen = np.zeros((Lq + 1, T + 1), np.int64)  # D-run opener column
-    H[0] = -(O_d + W)
+    E1 = np.full(T + 1, NEG, np.int64)  # insertion tracks (consume unit)
+    E2 = np.full(T + 1, NEG, np.int64)
+    # bt bits: 0-1 sel (0=M 1=I 2=D); 2 icont1; 3 icont2; 4 isel2; 5 fsel2
+    bt = np.zeros((Lq + 1, T + 1), np.uint8)
+    fopen1 = np.zeros((Lq + 1, T + 1), np.int64)
+    fopen2 = np.zeros((Lq + 1, T + 1), np.int64)
+    H[0] = -(O_d1 + W1)
+    if dual:
+        H[0] = np.maximum(H[0], -(O_d2 + W2))
     H[0, 0] = 0
-    for j in range(1, Lq + 1):
-        s = sub[:, unit[j - 1]]
-        M = H[j - 1, :-1] + s
-        e_open = H[j - 1] - O_i - E_i
-        e_cont = E - E_i
-        E = np.maximum(e_open, e_cont)
-        icont = e_cont > e_open
-        G = np.maximum(M, E[1:])           # best non-D at c = 1..T
-        keyed = np.concatenate(([E[0]], G)) + W  # openers G[c'] + W[c']
+
+    def _frun(G_row, E0, W, O_d):
+        keyed = np.concatenate(([E0], G_row)) + W
         run = np.maximum.accumulate(keyed)
-        # first-occurrence argmax (ties -> earliest opener), matching the
-        # device kernel's F-continuation tie rule (ops/poa_pallas.py)
         prev_run = np.concatenate(([NEG], run[:-1]))
         is_new = keyed > prev_run
         idx = np.where(is_new, np.arange(T + 1), -1)
         run_arg = np.maximum.accumulate(idx)
         F = np.full(T + 1, NEG, np.int64)
         F[1:] = run[:-1] - O_d - W[1:]
+        return F, np.concatenate(([0], run_arg[:-1]))
+
+    for j in range(1, Lq + 1):
+        s = sub[:, unit[j - 1]]
+        M = H[j - 1, :-1] + s
+        e_open1 = H[j - 1] - O_i1 - E_i1
+        e_cont1 = E1 - E_i1
+        E1 = np.maximum(e_open1, e_cont1)
+        icont1 = e_cont1 > e_open1
+        if dual:
+            e_open2 = H[j - 1] - O_i2 - E_i2
+            e_cont2 = E2 - E_i2
+            E2 = np.maximum(e_open2, e_cont2)
+            icont2 = e_cont2 > e_open2
+            E = np.maximum(E1, E2)
+            isel2 = E2 > E1
+        else:
+            E = E1
+            icont2 = np.zeros(T + 1, bool)
+            isel2 = np.zeros(T + 1, bool)
+        G = np.maximum(M, E[1:])           # best non-D at c = 1..T
+        # first-occurrence argmax (ties -> earliest opener), matching the
+        # device kernel's F-continuation tie rule
+        F1, fo1 = _frun(G, E[0], W1, O_d1)
+        if dual:
+            F2, fo2 = _frun(G, E[0], W2, O_d2)
+            F = np.maximum(F1, F2)
+            fsel2 = F2 > F1
+        else:
+            F, fo2 = F1, fopen2[0]
+            fsel2 = np.zeros(T + 1, bool)
         Hrow = np.empty(T + 1, np.int64)
-        Hrow[0] = -(O_i + j * E_i)
+        Hrow[0] = -ins_cost(j)
         Hrow[1:] = np.maximum(G, F[1:])
         # states: ties prefer M, then I, then D
         st = np.zeros(T + 1, np.uint8)
         st[1:] = np.where(F[1:] > G, 2, np.where(E[1:] > M, 1, 0))
         st[0] = 1
-        bt[j] = st | (icont.astype(np.uint8) << 2)
-        fopen[j] = np.concatenate(([0], run_arg[:-1]))
+        bt[j] = (st | (icont1.astype(np.uint8) << 2)
+                 | (icont2.astype(np.uint8) << 3)
+                 | (isel2.astype(np.uint8) << 4)
+                 | (fsel2.astype(np.uint8) << 5))
+        fopen1[j] = fo1
+        if dual:
+            fopen2[j] = fo2
         H[j] = Hrow
 
     # backtrack
     ops: List[Tuple[str, int, int]] = []
     j, c = Lq, T
-    state = 0  # interpret from bt
     while j > 0 or c > 0:
         if j == 0:
             ops.append(("D", c - 1, -1))
@@ -199,14 +254,17 @@ def align_to_profile(
             ops.append(("M", c - 1, j - 1))
             j -= 1
             c -= 1
-        elif s == 1:  # I run: walk while continuation
+        elif s == 1:  # I run: fix the track at entry, walk continuation
+            trk2 = (bt[j, c] >> 4) & 1
+            cbit = 3 if trk2 else 2
             ops.append(("I", c - 1, j - 1))
             j -= 1
-            while j > 0 and (bt[j + 1, c] >> 2) & 1:
+            while j > 0 and (bt[j + 1, c] >> cbit) & 1:
                 ops.append(("I", c - 1, j - 1))
                 j -= 1
-        else:  # D run to the opener column
-            c_open = int(fopen[j, c])
+        else:  # D run to the entry track's opener column
+            trk2 = (bt[j, c] >> 5) & 1
+            c_open = int((fopen2 if trk2 else fopen1)[j, c])
             while c > c_open:
                 ops.append(("D", c - 1, -1))
                 c -= 1
@@ -221,6 +279,8 @@ def profile_consensus(
     gap_open: int,
     gap_ext: int,
     polish: int = 0,
+    gap_open2: int | None = None,
+    gap_ext2: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sequential profile-POA over the units (host reference).
 
@@ -231,19 +291,26 @@ def profile_consensus(
     early columns) and lifts low-coverage consensus identity ~0.3-0.5%;
     it goes beyond the reference (abPOA does a single sequential pass)."""
     prof = Profile(np.asarray(units[0], np.int64))
+
+    def _wdel2():
+        return prof.del_weights(gap_ext2) if gap_open2 is not None else None
+
     for u in units[1:]:
         u = np.asarray(u, np.int64)
         sub = prof.sub_scores(match, mismatch)
         wdel = prof.del_weights(gap_ext)
-        ops = align_to_profile(u, sub, wdel, gap_open, gap_ext)
+        ops = align_to_profile(u, sub, wdel, gap_open, gap_ext,
+                               gap_open2, gap_ext2, _wdel2())
         prof.update(u, ops)
     for _ in range(polish):
         sub = prof.sub_scores(match, mismatch)
         wdel = prof.del_weights(gap_ext)
+        w2 = _wdel2()
         counts = np.zeros_like(prof.counts)
         for u in units:
             u = np.asarray(u, np.int64)
-            ops = align_to_profile(u, sub, wdel, gap_open, gap_ext)
+            ops = align_to_profile(u, sub, wdel, gap_open, gap_ext,
+                                   gap_open2, gap_ext2, w2)
             for kind, col, qpos in ops:
                 if kind == "M":
                     counts[col, u[qpos]] += 1

@@ -46,6 +46,7 @@ def _msa_oracle(units: List[np.ndarray], mtp: Params):
     return profile_consensus(
         units, mtp.match, mtp.mismatch, mtp.gap_open1, mtp.gap_ext1,
         polish=getattr(mtp, "polish", 0),
+        gap_open2=mtp.gap_open2, gap_ext2=mtp.gap_ext2,
     )
 
 
