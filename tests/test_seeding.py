@@ -80,3 +80,93 @@ def test_minimizer_basic():
     all_keys, all_pos = direct_hash(bseq, 5, False)
     allset = set(zip(all_keys.tolist(), all_pos.tolist()))
     assert set(zip(keys.tolist(), pos.tolist())) <= allset
+
+
+class TestMinimizerVectorized:
+    """minimizer_hash_vec multiset-equals the sequential oracle on N-free
+    reads (order is irrelevant: collect_hits sorts by (key, pos) first,
+    tandem_hit.c:172), and build_kmer_seeds falls back to the oracle for
+    N-bearing reads and HPC span overflows."""
+
+    @pytest.mark.parametrize("k,w,hpc", [
+        (5, 2, False), (5, 4, False), (8, 3, False), (8, 16, False),
+        (13, 5, False), (3, 7, False),
+        (5, 4, True), (8, 3, True),
+    ])
+    def test_multiset_parity(self, k, w, hpc):
+        from tidehunter_tpu.ops.seeding import (
+            minimizer_hash,
+            minimizer_hash_vec,
+        )
+
+        rng = np.random.default_rng(k * 100 + w)
+        lengths = [0, 1, k - 1, k, k + w - 2, k + w - 1, k + w,
+                   50, 173, 400]
+        for L in lengths:
+            seq = rng.integers(0, 4, L).astype(np.uint8)
+            # occasionally tandem so keys repeat heavily
+            if L >= 60:
+                p = L // 4
+                seq = np.tile(seq[:p], 5)[:L].astype(np.uint8)
+            got = minimizer_hash_vec(seq, k, w, hpc)
+            assert got is not None
+            wk, wp = minimizer_hash(seq, k, w, hpc)
+            import collections
+            a = collections.Counter(zip(got[0].tolist(), got[1].tolist()))
+            b = collections.Counter(zip(wk.tolist(), wp.tolist()))
+            assert a == b, (L, a, b)
+
+    def test_n_reads_fall_back_to_oracle(self):
+        from tidehunter_tpu.ops.seeding import (
+            build_kmer_seeds,
+            minimizer_hash,
+            minimizer_hash_vec,
+        )
+
+        rng = np.random.default_rng(5)
+        seq = rng.integers(0, 4, 150).astype(np.uint8)
+        seq[40] = 4
+        seq[90] = 4
+        assert minimizer_hash_vec(seq, 5, 4) is None
+        gk, gp = build_kmer_seeds(seq, 5, 4, False)
+        wk, wp = minimizer_hash(seq, 5, 4)
+        np.testing.assert_array_equal(gk, wk)
+        np.testing.assert_array_equal(gp, wp)
+
+    def test_hpc_span_overflow_falls_back(self):
+        from tidehunter_tpu.ops.seeding import (
+            build_kmer_seeds,
+            minimizer_hash,
+            minimizer_hash_vec,
+        )
+
+        # a 300-base homopolymer makes one HPC k-mer span >= 255
+        seq = np.concatenate([
+            np.random.default_rng(1).integers(0, 4, 50),
+            np.full(300, 2),
+            np.random.default_rng(2).integers(0, 4, 50),
+        ]).astype(np.uint8)
+        assert minimizer_hash_vec(seq, 5, 4, use_hpc=True) is None
+        gk, gp = build_kmer_seeds(seq, 5, 4, True)
+        wk, wp = minimizer_hash(seq, 5, 4, True)
+        np.testing.assert_array_equal(gk, wk)
+        np.testing.assert_array_equal(gp, wp)
+
+    def test_speedup(self):
+        import time
+
+        from tidehunter_tpu.ops.seeding import (
+            minimizer_hash,
+            minimizer_hash_vec,
+        )
+
+        rng = np.random.default_rng(0)
+        seq = rng.integers(0, 4, 20000).astype(np.uint8)
+        minimizer_hash_vec(seq, 8, 5)  # warm numpy internals
+        t0 = time.perf_counter()
+        minimizer_hash_vec(seq, 8, 5)
+        fast = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        minimizer_hash(seq, 8, 5)
+        slow = time.perf_counter() - t0
+        assert fast * 3 < slow, (fast, slow)

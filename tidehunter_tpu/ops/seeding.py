@@ -176,11 +176,68 @@ def minimizer_hash(
     )
 
 
+def minimizer_hash_vec(
+    bseq: np.ndarray, k: int, w: int, use_hpc: bool = False
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Vectorized minimizer seeding for the common case; None = caller
+    must use the sequential oracle (minimizer_hash).
+
+    Reformulation (property-tested against the oracle,
+    tests/test_seeding.py): on an N-free read the oracle's queue emits
+    exactly the set {(key, pos): key equals the minimum of some window of
+    w consecutive k-mers}, each at most once, plus — when fewer than w
+    k-mers exist — the single last-position minimum of the partial
+    buffer.  Position i is a window minimum iff
+    sliding_max(sliding_min(keys, w), w)[i] == keys[i], two sliding
+    extrema passes.  Order of emission is irrelevant downstream:
+    collect_hits radix-sorts by (key, pos) first (tandem_hit.c:172).
+
+    Falls back (returns None) for reads containing N — the reference's
+    ring buffer deliberately keeps pre-N entries live across a reset, so
+    minima can reach across N boundaries (tandem_hit.c:126-165); and for
+    HPC k-mers spanning >= 255 bases (the span-drop rule,
+    tandem_hit.c:120).  Both are rare and take the exact oracle.
+    """
+    bseq = np.asarray(bseq, dtype=np.int64)
+    if len(bseq) and (bseq >= 4).any():
+        return None
+    keys, pos = direct_hash(bseq, k, use_hpc)
+    n = len(keys)
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    if use_hpc and n > k:
+        spans = pos[k:] - pos[:-k]
+        if len(spans) and spans.max() >= 255:
+            return None
+    kk = keys.astype(np.uint64)
+    if n < w:
+        # partial buffer: the final flush emits the LAST position among
+        # the minima (the oracle's `info[0] <= mn[0]` update rule)
+        mn = kk.min()
+        last = np.nonzero(kk == mn)[0][-1]
+        return kk[last: last + 1], pos[last: last + 1]
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    winmin = sliding_window_view(kk, w).min(axis=1)      # [n-w+1]
+    # emitted(i) <=> exists window covering i with winmin == kk[i]
+    # <=> max over covering windows of winmin == kk[i]
+    cover = sliding_window_view(
+        np.concatenate([
+            np.zeros(w - 1, np.uint64), winmin, np.zeros(w - 1, np.uint64)
+        ]), w
+    ).max(axis=1)                                        # [n]
+    emit = cover == kk
+    return kk[emit], pos[emit]
+
+
 def build_kmer_seeds(
     bseq: np.ndarray, k: int, w: int, use_hpc: bool
 ) -> tuple[np.ndarray, np.ndarray]:
     """build_kmer_hash (src/tandem_hit.c:160-167)."""
     if w > 1:
+        fast = minimizer_hash_vec(bseq, k, w, use_hpc)
+        if fast is not None:
+            return fast
         return minimizer_hash(bseq, k, w, use_hpc)
     return direct_hash(bseq, k, use_hpc)
 
