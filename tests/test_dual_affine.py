@@ -218,3 +218,66 @@ def test_device_msa_single_affine_unchanged(monkeypatch):
         want = profile_consensus(reg, 2, 4, 4, 2)
         np.testing.assert_array_equal(r[0], want[0])
         np.testing.assert_array_equal(r[1], want[1])
+
+
+def test_device_msa_banded_matches_host(monkeypatch):
+    """Banded DeviceMSA == banded host mirror at a banded bucket,
+    including a band-touching region that both sides retry through the
+    full kernels (interpret mode; band lowered to the T=512 bucket so
+    the CPU interpreter stays fast)."""
+    from tidehunter_tpu.ops import msa_device as MD
+    from tidehunter_tpu.ops.poa_profile import banded_profile_consensus
+
+    monkeypatch.setattr(MD, "INTERPRET", True)
+    monkeypatch.setattr(MD, "_B_CAP", 8)
+    monkeypatch.setattr(MD, "BAND_MIN_T", 512)
+    dm = MD.DeviceMSA(2, 4, 4, 2, gap_open2=24, gap_ext2=1)
+    rng = np.random.default_rng(99)
+    regions = []
+    for i in range(6):
+        p = 400
+        unit = rng.integers(0, 4, p)
+        us = []
+        for _ in range(4):
+            u = list(unit.copy())
+            for k in range(p):
+                if rng.random() < 0.08:
+                    u[k] = int(rng.integers(0, 4))
+            if i == 0 and len(us) == 1:
+                # force a band touch: a 200-base deletion drives |c-j|
+                # to ~200 >= band(128) - 8
+                del u[100:300]
+            us.append(np.array(u, np.uint8))
+        regions.append(us)
+    got = dm.consensus_batch(regions)
+    for reg, r in zip(regions, got):
+        want = banded_profile_consensus(
+            reg, 2, 4, 4, 2, gap_open2=24, gap_ext2=1, band_min_t=512)
+        assert r is not None
+        np.testing.assert_array_equal(r[0], want[0])
+        np.testing.assert_array_equal(r[1], want[1])
+
+
+def test_device_msa_banded_sliding_window(monkeypatch):
+    """T=1024 bucket: the band window (WP=640) actually slides — every
+    128-lane advance/shift path in the kernel executes. One region,
+    interpret mode."""
+    from tidehunter_tpu.ops import msa_device as MD
+    from tidehunter_tpu.ops.poa_profile import banded_profile_consensus
+
+    monkeypatch.setattr(MD, "INTERPRET", True)
+    monkeypatch.setattr(MD, "_B_CAP", 8)
+    rng = np.random.default_rng(123)
+    unit = rng.integers(0, 4, 800)
+    us = []
+    for _ in range(3):
+        u = np.where(rng.random(800) < 0.08,
+                     rng.integers(0, 4, 800), unit)
+        us.append(u.astype(np.uint8))
+    dm = MD.DeviceMSA(2, 4, 4, 2, gap_open2=24, gap_ext2=1)
+    got = dm.consensus_batch([us])
+    want = banded_profile_consensus(us, 2, 4, 4, 2,
+                                    gap_open2=24, gap_ext2=1)
+    assert got[0] is not None
+    np.testing.assert_array_equal(got[0][0], want[0])
+    np.testing.assert_array_equal(got[0][1], want[1])

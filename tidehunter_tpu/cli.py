@@ -83,6 +83,8 @@ def usage() -> int:
     e("    --device STR            kernel dispatch: tpu | cpu | off [tpu]\n")
     e("    --resume STR            progress-cursor file for checkpoint/restart [off]\n")
     e("    --metrics STR           write structured run metrics JSON to file [off]\n")
+    e("    --profile STR           write a JAX profiler trace (TensorBoard/Perfetto)\n")
+    e("                            into this directory for the run [off]\n")
     e("    --polish INT            consensus refinement rounds (realign units to the\n")
     e("                            final profile; improves low-coverage accuracy) [0]\n")
     e("    --shard I/N             process reads I, I+N, I+2N, ... (multi-host data\n")
@@ -112,7 +114,7 @@ def parse_args(argv: List[str]):
     code. Mirrors main.c:443-529 including validation messages."""
     mtp = Params()
     extra = {"device": "tpu", "resume": None, "output": None,
-             "metrics": None, "shard": None}
+             "metrics": None, "shard": None, "profile": None}
     pos: List[str] = []
     i = 0
     n = len(argv)
@@ -142,6 +144,11 @@ def parse_args(argv: List[str]):
             if val is None:
                 return 1
             extra["metrics"] = val
+        elif tok == "--profile":
+            val = need_arg(tok)
+            if val is None:
+                return 1
+            extra["profile"] = val
         elif tok == "--polish":
             val = need_arg(tok)
             if val is None:
@@ -367,6 +374,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         except Exception as exc:  # noqa: BLE001 - fall back to oracle path
             log(f"device engine unavailable ({exc}); using host oracle path")
 
+    profile_cm = None
+    if extra["profile"]:
+        # SURVEY §5.1: structured per-stage timers (utils/metrics) plus a
+        # real JAX profiler trace (XLA/TPU timeline, viewable in
+        # TensorBoard or Perfetto)
+        try:
+            import jax
+
+            profile_cm = jax.profiler.trace(extra["profile"])
+            profile_cm.__enter__()
+            log(f"profiler trace -> {extra['profile']}")
+        except Exception as exc:  # noqa: BLE001
+            log(f"profiler unavailable ({exc})")
+            profile_cm = None
     try:
         metrics = runner.run(
             read_fn, mtp, out=out, resume_cursor=extra["resume"],
@@ -375,6 +396,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     except FileNotFoundError as exc:
         sys.stderr.write(f"[main] Error: can not open file {exc.filename}\n")
         return 1
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
     log(resource_line(), func="main")
     log(
         f"reads: {metrics.reads}; consensus records: {metrics.cons_records}; "

@@ -63,6 +63,11 @@ INTERPRET = os.environ.get("TH_PALLAS_INTERPRET", "") == "1"
 # ~1000x slower than hardware; production leaves this None).
 _B_CAP = None
 
+# Buckets at or above this width use the |c-j|-banded DP/backtrack by
+# default (with full-kernel retry on band touch).  Below it the band's
+# fixed 384-lane margin eats the savings.
+BAND_MIN_T = 1024
+
 
 def _modules():
     import jax
@@ -228,11 +233,211 @@ def _dp_one_row(jax, jnp, pl, pltpu, r, kk, T, costs,
     dirs_ref[kk] = jnp.where(mask, d, jnp.uint8(0))
 
 
+def _band_base(jnp, r, T, WP):
+    """Per-row window base: 128-aligned cover of the |c-j| <= Wb band's
+    lane range [(r-Wb)/2, (r+Wb)/2] (Wb = WP - 384), clamped to
+    [0, T-WP], with a full extra 128-lane margin on the left so every
+    live lane has slice index >= 1 (the in-window rolls wrap at slice
+    lane 0; the margin keeps wrapped values strictly outside the band).
+    Works with both python-int and traced r."""
+    Wb = WP - 384
+    lo = (r - Wb) // 2
+    base = lo // 128 * 128 - 128
+    if isinstance(r, int):
+        return max(0, min(base, T - WP))
+    return jnp.maximum(0, jnp.minimum(base, T - WP))
+
+
+def _make_dp_kernel_banded(T: int, K: int, WP: int, oi: int, ei: int,
+                           od: int, oi2: int, ei2: int, od2: int):
+    """|c-j| <= Wb banded variant: scratch and dirs live in a WP-wide
+    window that slides right with the anti-diagonal (one 128-lane shift
+    every 256 rows — a static decision per unrolled row).  Rows cost WP
+    lanes instead of T; regions whose optimal path leaves the band are
+    flagged by the update step and retried through the full kernel, and
+    the host oracle applies the identical band + retry rule, so the
+    host/device pair stays bit-equal."""
+    jax, jnp, pl, pltpu = _modules()
+
+    def kernel(maxr_ref, qbuf_ref, sub_ref, wl_ref, wdel_ref,
+               wl2_ref, wdel2_ref, qlen_ref,
+               ncol_ref,
+               dirs_ref,
+               he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
+               e2_ref, f2_ref):
+        rk = pl.program_id(1)
+        B = wl_ref.shape[0]
+        Lq = qlen_ref[:, 0:1]
+        Tn = ncol_ref[:, 0:1]
+        maxr = maxr_ref[0, 0]
+
+        @pl.when(rk == 0)
+        def _init():
+            for ref in (he_ref, ho_ref, e_ref, f_ref, g_ref,
+                        e2_ref, f2_ref):
+                ref[:] = jnp.full((B, WP), NEG, jnp.int32)
+            qrr_ref[:] = jnp.full((B, WP), 4, jnp.int32)
+
+        for kk in range(K):
+            rr = rk * K + kk   # traced through rk
+
+            @pl.when(rr < maxr)
+            def _row(kk=kk, rr=rr):
+                _dp_one_row_banded(
+                    jax, jnp, pl, pltpu, rr, kk, T, K, WP,
+                    (oi, ei, od, oi2, ei2, od2),
+                    qbuf_ref, sub_ref, wl_ref, wdel_ref, wl2_ref,
+                    wdel2_ref, dirs_ref,
+                    he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
+                    e2_ref, f2_ref,
+                    Lq, Tn, B,
+                )
+
+    return kernel
+
+
+def _dp_one_row_banded(jax, jnp, pl, pltpu, r, kk, T, K, WP, costs,
+                       qbuf_ref, sub_ref, wl_ref, wdel_ref, wl2_ref,
+                       wdel2_ref, dirs_ref,
+                       he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
+                       e2_ref, f2_ref,
+                       Lq, Tn, B):
+    oi, ei, od, oi2, ei2, od2 = costs
+    base = _band_base(jnp, r, T, WP)
+    prev_base = _band_base(jnp, r - 1, T, WP)
+    shift = base - prev_base          # exactly 0 or 128 (aligned steps)
+
+    # window advance: slide every scratch ref left by 128 lanes, filling
+    # the newly exposed right lanes with their init values
+    li = jax.lax.broadcasted_iota(jnp.int32, (B, WP), 1)
+
+    @pl.when(shift != 0)
+    def _advance():
+        for ref, fill in ((he_ref, NEG), (ho_ref, NEG), (e_ref, NEG),
+                          (f_ref, NEG), (g_ref, NEG), (e2_ref, NEG),
+                          (f2_ref, NEG), (qrr_ref, 4)):
+            # left-shift by 128 == right-roll by WP-128 (pltpu.roll
+            # requires a non-negative shift)
+            ref[:] = jnp.where(
+                li >= WP - 128, fill, pltpu.roll(ref[:], WP - 128, 1))
+
+    ti = li + base                    # global lane = column-1
+    wb = WP - 384
+    off = 2 * ti - r                  # c - j of the current cell
+    bandok = jnp.abs(off) <= wb
+    # predecessor band masks: out-of-band neighbors read as NEG so the
+    # band semantics equal the host mirror's row masking exactly (a lane
+    # leaves the band permanently, so its scratch holds stale values)
+    m_up = jnp.abs(off + 1) <= wb     # (j-1, c)  : h_up/e_up/e2_up
+    m_dl = jnp.abs(off - 1) <= wb     # (j, c-1)  : g_sh/f_sh/f2_sh
+
+    # q base for the new diagonal cell (global query index = r - ti).
+    # The rolling register must be seeded at the WINDOW's left edge every
+    # row — seeding only at global lane 0 (as in the full kernel) starves
+    # the register once the window slides past it and fill garbage
+    # propagates right through the whole band.
+    qi = r - base                     # query index entering at slice 0
+    qi_al = pl.multiple_of(qi // 128 * 128, 128)
+    qwin = qbuf_ref[:, pl.ds(qi_al, 128)]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+    q_left = jnp.sum(
+        jnp.where(lane128 == (qi - qi_al), qwin, 0), axis=1, keepdims=True)
+    qb = jnp.where(li == 0, q_left, pltpu.roll(qrr_ref[:], 1, 1))
+    qrr_ref[:] = qb
+
+    mask = ((ti <= r) & (ti >= r - Lq + 1) & (ti < Tn)
+            & (r < Lq + Tn - 1) & bandok)
+
+    ds = pl.ds(pl.multiple_of(base, 128), WP)
+    subw = sub_ref[:, :, ds]
+    s = subw[:, 0, :]
+    for bb in range(1, 5):
+        s = jnp.where(qb == bb, subw[:, bb, :], s)
+    Wl = wl_ref[:, ds]
+    Wl2 = wl2_ref[:, ds]
+    wd = wdel_ref[:, ds]
+    wd2 = wdel2_ref[:, ds]
+    Wl_sh = jnp.where(ti == 0, 0, pltpu.roll(Wl, 1, 1))
+    Wl2_sh = jnp.where(ti == 0, 0, pltpu.roll(Wl2, 1, 1))
+
+    def ins0(g):
+        return jnp.maximum(-(oi + g * ei), -(oi2 + g * ei2))
+
+    if kk % 2 == 0:
+        hp2_ref, hp_ref = he_ref, ho_ref
+    else:
+        hp2_ref, hp_ref = ho_ref, he_ref
+
+    # NOTE on rolls near the window edge: lane 0 of the slice wraps to
+    # lane WP-1's stale value, but lane base is always strictly outside
+    # the live band when base > 0 (the window leaves 128 lanes of slack
+    # on each side), so the wrapped value is masked dead.
+    hm = pltpu.roll(hp2_ref[:], 1, 1)
+    hm = jnp.where(ti == 0, ins0(r), hm)
+    hm = jnp.where(
+        ti == r,
+        jnp.where(ti == 0, 0,
+                  jnp.maximum(-(od + Wl_sh), -(od2 + Wl2_sh))),
+        hm)
+    M = hm + s
+
+    hp = hp_ref[:]
+    h_up = jnp.where(
+        ti == r, jnp.maximum(-(od + Wl), -(od2 + Wl2)), hp)
+    h_up = jnp.where(m_up, h_up, NEG)
+    e_up = jnp.where((ti == r) | ~m_up, NEG, e_ref[:])
+    e_open = h_up - oi - ei
+    e_cont = e_up - ei
+    E1 = jnp.maximum(e_open, e_cont)
+    icont1 = e_cont > e_open
+    e2_up = jnp.where((ti == r) | ~m_up, NEG, e2_ref[:])
+    e2_open = h_up - oi2 - ei2
+    e2_cont = e2_up - ei2
+    E2 = jnp.maximum(e2_open, e2_cont)
+    icont2 = e2_cont > e2_open
+    E = jnp.maximum(E1, E2)
+    isel2 = E2 > E1
+
+    g_sh = pltpu.roll(g_ref[:], 1, 1)
+    g_sh = jnp.where(ti == 0, ins0(r + 1), g_sh)
+    g_sh = jnp.where(m_dl, g_sh, NEG)
+    f_sh = pltpu.roll(f_ref[:], 1, 1)
+    f_sh = jnp.where((ti == 0) | ~m_dl, NEG, f_sh)
+    F1 = jnp.maximum(g_sh - od, f_sh) - wd
+    fcont1 = f_sh >= (g_sh - od)
+    f2_sh = pltpu.roll(f2_ref[:], 1, 1)
+    f2_sh = jnp.where((ti == 0) | ~m_dl, NEG, f2_sh)
+    F2 = jnp.maximum(g_sh - od2, f2_sh) - wd2
+    fcont2 = f2_sh >= (g_sh - od2)
+    F = jnp.maximum(F1, F2)
+    fsel2 = F2 > F1
+
+    G = jnp.maximum(M, E)
+    H = jnp.maximum(G, F)
+    sel = jnp.where(F > G, 2, jnp.where(E > M, 1, 0))
+    d = (sel
+         | jnp.where(icont1, 4, 0) | jnp.where(fcont1, 8, 0)
+         | jnp.where(isel2, 16, 0) | jnp.where(fsel2, 32, 0)
+         | jnp.where(icont2, 64, 0) | jnp.where(fcont2, 128, 0)
+         ).astype(jnp.uint8)
+
+    hp2_ref[:] = jnp.where(mask, H, hp2_ref[:])
+    e_ref[:] = jnp.where(mask, E1, e_ref[:])
+    e2_ref[:] = jnp.where(mask, E2, e2_ref[:])
+    f_ref[:] = jnp.where(mask, F1, f_ref[:])
+    f2_ref[:] = jnp.where(mask, F2, f2_ref[:])
+    g_ref[:] = jnp.where(mask, G, g_ref[:])
+    dirs_ref[kk] = jnp.where(mask, d, jnp.uint8(0))
+
+
 # ----------------------------------------------------- backtrack kernel --
 
 
-def _make_bt_kernel(T: int, NL: int):
+def _make_bt_kernel(T: int, NL: int, WP: int | None = None):
+    """WP set = banded variant: dirs rows are WP-wide windows; the lane
+    holding cell (j, c) at level L is (c-1) - _band_base(L-2)."""
     jax, jnp, pl, pltpu = _modules()
+    W = T if WP is None else WP
 
     def kernel(dirs_ref, qlen_ref, ncol_ref,
                ops_ref,
@@ -240,7 +445,9 @@ def _make_bt_kernel(T: int, NL: int):
         tick = pl.program_id(1)
         B = qlen_ref.shape[0]
         L = 2 * T - tick            # current level (j + c)
-        ti = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+        ti = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        if WP is not None:
+            ti = ti + _band_base(jnp, jnp.maximum(L - 2, 0), T, WP)
         lnl = jax.lax.broadcasted_iota(jnp.int32, (B, NL), 1)
 
         @pl.when(tick == 0)
@@ -415,6 +622,18 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         return votes + padded[:, :T, :]
 
     @jax.jit
+    def touch_step(ops_lvl, active, wb):
+        """Band-touch: does the path reach within 8 of the |c-j| band
+        edge?  (Reconstructs per-level j/c from the op cumsums.)"""
+        op = ops_lvl.astype(jnp.int32)
+        valid = (op != OP_PAD) & active[:, None]
+        consumes_c = valid & (op != OP_I)
+        consumes_q = valid & (op != OP_D)
+        c = jnp.cumsum(consumes_c.astype(jnp.int32), axis=1)
+        j = jnp.cumsum(consumes_q.astype(jnp.int32), axis=1)
+        return jnp.any(valid & (jnp.abs(c - j) >= wb - 8), axis=1)
+
+    @jax.jit
     def init_step(units_dev, ulen_dev):
         """Initial profile = one-hot of unit 0 (device-side: the counts
         tensor is ~8 MB int32 and the tunnel moves ~40 MB/s, so building
@@ -444,7 +663,8 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         return packed, bc.astype(jnp.int16)
 
     return (gather_step, scores_step, update_step, consensus_step,
-            init_step, polish_update, (oi, ei, od, oi2, ei2, od2))
+            init_step, polish_update, touch_step,
+            (oi, ei, od, oi2, ei2, od2))
 
 
 # --------------------------------------------------------------- driver --
@@ -456,6 +676,14 @@ def _tile_bt(T: int) -> int:
     x4B) plus the K*BT*T uint8 dirs block => ~BT*(80T+1024) bytes; budget
     12 MB of the 16 MB VMEM."""
     return max(8, 12_000_000 // (80 * T + 1024) // 8 * 8)
+
+
+def _band_wp(T: int) -> int:
+    """Window width for the banded DP at bucket T: half-band Wb = T//4
+    (generous — legitimate tandem units drift far less than 25% of the
+    period) plus 384 lanes of margin/alignment slack.  Band-escaping
+    regions are detected by the touch step and retried full-width."""
+    return (T // 4 // 128) * 128 + 384
 
 
 def _dirs_b(T: int) -> int:
@@ -482,12 +710,14 @@ class DeviceMSA:
 
     def __init__(self, match, mismatch, gap_open, gap_ext, polish=0,
                  buckets=(128, 256, 384, 512, 640, 768, 896, 1024,
-                          1280, 1536, 2048, 3072, 4096), mesh=None,
+                          2048, 4096), mesh=None,
                  gap_open2=None, gap_ext2=None):
-        """Buckets are deliberately fine-grained: DP cost is ~2*T^2 per
-        region, so a region spilling one bucket up pays the full ratio
-        (768 -> 2048 would be 7x). Each bucket Mosaic-compiles its DP/BT
-        kernels once, on first use only.
+        """Buckets are fine-grained below 1024 (DP cost ~2*T^2, so a
+        spill pays the full ratio) and coarse above (the banded kernels
+        bound rows by the actual qlen+ncol and lanes by the band window,
+        so a 1100-column region in the 2048 bucket costs barely more
+        than in a 1280 one — and each bucket's Mosaic compile is seconds
+        on this platform). Kernels compile on first use only.
 
         polish: frozen-layout refinement rounds after the sequential pass
         (bit-exact with profile_consensus(..., polish=polish))."""
@@ -506,6 +736,7 @@ class DeviceMSA:
             gap_ext2 = gap_ext
         (self.gather_step, self.scores_step, self.update_step,
          self.consensus_step, self.init_step, self.polish_update,
+         self.touch_step,
          (self.oi, self.ei, self.od, self.oi2, self.ei2, self.od2)
          ) = _build_jits(
             match, mismatch, gap_open, gap_ext, gap_open2, gap_ext2)
@@ -519,9 +750,10 @@ class DeviceMSA:
                 return b
         return None
 
-    def _dp_run(self, T: int):
-        if T in self._dp_runs:
-            return self._dp_runs[T]
+    def _dp_run(self, T: int, banded: bool = False):
+        key = (T, banded)
+        if key in self._dp_runs:
+            return self._dp_runs[key]
         jax, jnp, pl, pltpu = _modules()
         K = 4
         B = _dirs_b(T)
@@ -529,8 +761,15 @@ class DeviceMSA:
         n_rows = 2 * T - 1
         NR = (n_rows + K - 1) // K
         LQplus = ((n_rows + 127) // 128) * 128 + 128
-        kern = _make_dp_kernel(T, K, self.oi, self.ei, self.od,
-                               self.oi2, self.ei2, self.od2)
+        if banded:
+            WP = _band_wp(T)
+            kern = _make_dp_kernel_banded(
+                T, K, WP, self.oi, self.ei, self.od,
+                self.oi2, self.ei2, self.od2)
+        else:
+            WP = T
+            kern = _make_dp_kernel(T, K, self.oi, self.ei, self.od,
+                                   self.oi2, self.ei2, self.od2)
 
         @jax.jit
         def run(maxr, qbuf, sub, wl, wdel, wl2, wdel2, qlen, ncol):
@@ -553,26 +792,29 @@ class DeviceMSA:
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(
-                    (K, BT, T), lambda b, r: (r, b, 0),
+                    (K, BT, WP), lambda b, r: (r, b, 0),
                     memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((NR * K, B, T), jnp.uint8),
-                scratch_shapes=[pltpu.VMEM((BT, T), jnp.int32)
+                out_shape=jax.ShapeDtypeStruct((NR * K, B, WP), jnp.uint8),
+                scratch_shapes=[pltpu.VMEM((BT, WP), jnp.int32)
                                 for _ in range(8)],
                 interpret=INTERPRET,
             )(maxr, qbuf, sub, wl, wdel, wl2, wdel2, qlen, ncol)
 
-        self._dp_runs[T] = (run, B, LQplus)
-        return self._dp_runs[T]
+        self._dp_runs[key] = (run, B, LQplus)
+        return self._dp_runs[key]
 
-    def _bt_run(self, T: int):
-        if T in self._bt_runs:
-            return self._bt_runs[T]
+    def _bt_run(self, T: int, banded: bool = False):
+        key = (T, banded)
+        if key in self._bt_runs:
+            return self._bt_runs[key]
         jax, jnp, pl, pltpu = _modules()
         B = _dirs_b(T)
         BT = min(B, _tile_bt(T))
         NL = ((2 * T + 1 + 127) // 128) * 128
         NT = 2 * T          # levels L = 2T .. 1 (L=1: boundary-only steps)
-        kern = _make_bt_kernel(T, NL)
+        WP = _band_wp(T) if banded else None
+        W = WP if banded else T
+        kern = _make_bt_kernel(T, NL, WP)
 
         @jax.jit
         def run(dirs, qlen, ncol):
@@ -581,7 +823,7 @@ class DeviceMSA:
                 grid=(B // BT, NT),
                 in_specs=[
                     pl.BlockSpec(
-                        (1, BT, T),
+                        (1, BT, W),
                         lambda b, k: (jnp.maximum(2 * T - 2 - k, 0), b, 0),
                         memory_space=pltpu.VMEM),
                     pl.BlockSpec((BT, 1), lambda b, k: (b, 0),
@@ -597,19 +839,26 @@ class DeviceMSA:
                 interpret=INTERPRET,
             )(dirs, qlen, ncol)
 
-        self._bt_runs[T] = (run, B, NL)
-        return self._bt_runs[T]
+        self._bt_runs[key] = (run, B, NL)
+        return self._bt_runs[key]
 
-    def _round(self, T: int):
+    def _round(self, T: int, banded: bool = False):
         """Fused unit round (scores + DP + backtrack + update) as ONE jit:
         nested jits inline, so each round is a single dispatch instead of
-        four. k arrives as a traced scalar — no per-k recompile."""
-        if T in self._round_fns:
-            return self._round_fns[T]
+        four. k arrives as a traced scalar — no per-k recompile.
+
+        banded=True swaps in the |c-j| <= Wb windowed DP/backtrack and
+        adds a fifth output: per-region band-touch flags (paths reaching
+        the band edge), which the driver retries through the full
+        kernels so banding never changes results."""
+        key = (T, banded)
+        if key in self._round_fns:
+            return self._round_fns[key]
         jax, jnp, _, _ = _modules()
-        run_dp, B, LQplus = self._dp_run(T)
-        run_bt, B2, NL = self._bt_run(T)
+        run_dp, B, LQplus = self._dp_run(T, banded)
+        run_bt, B2, NL = self._bt_run(T, banded)
         assert B == B2
+        wb = _band_wp(T) - 384 if banded else 0
 
         def round_fn(counts, n_placed, ncol, overflow,
                      unit_k, qlen_k, active):
@@ -620,9 +869,12 @@ class DeviceMSA:
                           qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
             ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
                              ncol.reshape(-1, 1))
-            return self.update_step(
+            out = self.update_step(
                 counts, n_placed, ncol, overflow, unit_k, qlen_k, active,
                 ops_lvl)
+            if banded:
+                return out + (self.touch_step(ops_lvl, active, wb),)
+            return out
 
         def polish_round_fn(votes, counts, n_placed, ncol,
                             unit_k, qlen_k, active):
@@ -633,8 +885,14 @@ class DeviceMSA:
                           qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
             ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
                              ncol.reshape(-1, 1))
-            return self.polish_update(votes, ncol, active, unit_k, ops_lvl)
+            votes2 = self.polish_update(votes, ncol, active, unit_k,
+                                        ops_lvl)
+            if banded:
+                return votes2, self.touch_step(ops_lvl, active, wb)
+            return votes2
 
+        n_out = 5 if banded else 4
+        n_out_p = 2 if banded else 1
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -652,15 +910,15 @@ class DeviceMSA:
                     out_shardings=(s,) * n_out if n_out > 1 else s,
                 )
 
-            round_fn = _smap(round_fn, 7, 4)
-            polish_round_fn = _smap(polish_round_fn, 7, 1)
+            round_fn = _smap(round_fn, 7, n_out)
+            polish_round_fn = _smap(polish_round_fn, 7, n_out_p)
         else:
             round_fn = jax.jit(round_fn)
             polish_round_fn = jax.jit(polish_round_fn)
 
-        self._round_fns[T] = (round_fn, polish_round_fn,
-                              B * self.mesh_n, LQplus, NL)
-        return self._round_fns[T]
+        self._round_fns[key] = (round_fn, polish_round_fn,
+                                B * self.mesh_n, LQplus, NL)
+        return self._round_fns[key]
 
     def consensus_batch(
         self, regions: List[List[np.ndarray]]
@@ -670,38 +928,55 @@ class DeviceMSA:
         import jax.numpy as jnp
 
         out: List = [None] * len(regions)
-        todo: List[Tuple[int, int]] = []   # (region index, min bucket)
+        # (region index, min bucket, force_full): force_full set when a
+        # banded pass saw the region's path touch the band edge
+        todo: List[Tuple[int, int, bool]] = []
+        spread = [0] * len(regions)
         for ri, units in enumerate(regions):
             cap = max(len(u) for u in units)
+            spread[ri] = cap - min(len(u) for u in units)
             # 1.2x column-growth margin (measured profile growth on
             # 10%-error R2C2 units: mean 1.15, max 1.17); a region whose
             # profile outgrows its bucket overflows and retries one bucket
             # up (below), so the margin can stay tight — T^2 DP cost and
             # the finer bucket ladder reward it
-            todo.append((ri, int(cap * 1.2) + 8))
+            todo.append((ri, int(cap * 1.2) + 8, False))
 
         while todo:
-            by_bucket: Dict[int, List[int]] = {}
-            for ri, need in todo:
+            by_bucket: Dict[Tuple[int, bool], List[int]] = {}
+            for ri, need, full in todo:
                 b = self._bucket(need)
                 if b is not None:
-                    by_bucket.setdefault(b, []).append(ri)
+                    # unit-length-spread precheck: lengths differing by
+                    # more than half the band guarantee a band touch —
+                    # go straight to the full kernels
+                    banded = (
+                        b >= BAND_MIN_T and not full
+                        and spread[ri] <= (_band_wp(b) - 384) // 2
+                    )
+                    by_bucket.setdefault((b, banded), []).append(ri)
             todo = []
-            for T, idxs in by_bucket.items():
-                round_fn, polish_round_fn, B, LQplus, NL = self._round(T)
+            for (T, banded), idxs in by_bucket.items():
+                round_fn, polish_round_fn, B, LQplus, NL = self._round(
+                    T, banded)
                 for lo in range(0, len(idxs), B):
                     part = idxs[lo:lo + B]
                     res = self._one_batch(
                         [regions[i] for i in part], T, B,
-                        round_fn, polish_round_fn, jnp)
+                        round_fn, polish_round_fn, jnp, banded)
                     for i, r in zip(part, res):
                         if r is None:
-                            todo.append((i, T + 1))  # overflow: bucket up
+                            # overflow: bucket up (keep band eligibility)
+                            todo.append((i, T + 1, False))
+                        elif isinstance(r, str):
+                            # band touch: same bucket, full kernels
+                            todo.append((i, T, True))
                         else:
                             out[i] = r
         return out
 
-    def _one_batch(self, regs, T, B, round_fn, polish_round_fn, jnp):
+    def _one_batch(self, regs, T, B, round_fn, polish_round_fn, jnp,
+                   banded=False):
         R = len(regs)
         # U only shapes the cheap gather/init jits (compiled per distinct
         # U, pure XLA); the Mosaic-bearing fused round is U-free
@@ -723,12 +998,18 @@ class DeviceMSA:
         overflow = jnp.zeros(B, bool)
 
         nunits_dev = jnp.asarray(nunits)
+        touched = jnp.zeros(B, bool)
         max_units = int(nunits.max())
         for k in range(1, max_units):
             unit_k, qlen_k, active = self.gather_step(
                 units_dev, ulen_dev, nunits_dev, k)
-            counts, n_placed, ncol, overflow = round_fn(
+            res = round_fn(
                 counts, n_placed, ncol, overflow, unit_k, qlen_k, active)
+            if banded:
+                counts, n_placed, ncol, overflow, tch = res
+                touched = touched | tch
+            else:
+                counts, n_placed, ncol, overflow = res
 
         nunits_dev32 = nunits_dev.astype(jnp.int32)
         for _ in range(self.polish):
@@ -739,19 +1020,28 @@ class DeviceMSA:
             for k in range(max_units):
                 unit_k, qlen_k, active = self.gather_step(
                     units_dev, ulen_dev, nunits_dev, k)
-                votes = polish_round_fn(
+                res = polish_round_fn(
                     votes, counts, n_placed, ncol, unit_k, qlen_k, active)
+                if banded:
+                    votes, tch = res
+                    touched = touched | tch
+                else:
+                    votes = res
             counts = votes
             n_placed = nunits_dev32
 
         packed, bc = self.consensus_step(counts, n_placed, ncol, overflow)
         packed = np.asarray(packed)
         bc = np.asarray(bc)
+        tnp = np.asarray(touched) if banded else None
         out = []
         for i in range(R):
+            if banded and tnp[i]:
+                out.append("touch")     # band edge: full-kernel retry
+                continue
             row = packed[i]
             if row[0] & 16:
-                out.append(None)        # overflow -> host fallback
+                out.append(None)        # overflow -> bucket-up retry
                 continue
             kp = (row & 8) != 0
             out.append(((row[kp] & 7).astype(np.uint8),

@@ -133,8 +133,14 @@ def align_to_profile(
     gap_open2: int | None = None,
     gap_ext2: int | None = None,
     wdel2: np.ndarray | None = None,
+    band: int | None = None,
 ) -> List[Tuple[str, int, int]]:
     """Gotoh DP of unit vs profile; returns the op path for Profile.update.
+
+    band: |c - j| <= band restriction mirroring the device's banded
+    kernel exactly (every out-of-band state reads/stores NEG); callers
+    must apply the same band-touch + full-retry rule as the device
+    driver (see banded_profile_consensus).
 
     Gap model: single affine by default; pass (gap_open2, gap_ext2,
     wdel2) for the abPOA convex (dual-affine) contract
@@ -176,10 +182,13 @@ def align_to_profile(
     bt = np.zeros((Lq + 1, T + 1), np.uint8)
     fopen1 = np.zeros((Lq + 1, T + 1), np.int64)
     fopen2 = np.zeros((Lq + 1, T + 1), np.int64)
+    cgrid = np.arange(T + 1)
     H[0] = -(O_d1 + W1)
     if dual:
         H[0] = np.maximum(H[0], -(O_d2 + W2))
     H[0, 0] = 0
+    if band is not None:
+        H[0] = np.where(cgrid <= band, H[0], NEG)
 
     def _frun(G_row, E0, W, O_d):
         keyed = np.concatenate(([E0], G_row)) + W
@@ -210,6 +219,15 @@ def align_to_profile(
             E = E1
             icont2 = np.zeros(T + 1, bool)
             isel2 = np.zeros(T + 1, bool)
+        if band is not None:
+            inb = np.abs(cgrid - j) <= band
+            E1 = np.where(inb, E1, NEG)
+            if dual:
+                E2 = np.where(inb, E2, NEG)
+                E = np.where(inb, E, NEG)
+            else:
+                E = E1
+            M = np.where(inb[1:], M, NEG)
         G = np.maximum(M, E[1:])           # best non-D at c = 1..T
         # first-occurrence argmax (ties -> earliest opener), matching the
         # device kernel's F-continuation tie rule
@@ -224,6 +242,11 @@ def align_to_profile(
         Hrow = np.empty(T + 1, np.int64)
         Hrow[0] = -ins_cost(j)
         Hrow[1:] = np.maximum(G, F[1:])
+        if band is not None:
+            Hrow = np.where(inb, Hrow, NEG)
+            F1 = np.where(inb, F1, NEG)
+            if dual:
+                F2 = np.where(inb, F2, NEG)
         # states: ties prefer M, then I, then D
         st = np.zeros(T + 1, np.uint8)
         st[1:] = np.where(F[1:] > G, 2, np.where(E[1:] > M, 1, 0))
@@ -317,3 +340,110 @@ def profile_consensus(
         prof.counts = counts
         prof.n_placed = len(units)
     return prof.consensus()
+
+
+def _path_touches_band(ops, band: int) -> bool:
+    """Device touch_step mirror: does the path reach within 8 of the
+    |c - j| band edge?  (c/j reconstructed from op cumsums.)"""
+    c = j = 0
+    for kind, _col, _q in ops:
+        if kind != "I":
+            c += 1
+        if kind != "D":
+            j += 1
+        if abs(c - j) >= band - 8:
+            return True
+    return False
+
+
+def banded_profile_consensus(
+    units: List[np.ndarray],
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_ext: int,
+    polish: int = 0,
+    gap_open2: int | None = None,
+    gap_ext2: int | None = None,
+    buckets=(128, 256, 384, 512, 640, 768, 896, 1024,
+             2048, 4096),
+    band_min_t: int = 1024,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host mirror of ops/msa_device.DeviceMSA.consensus_batch for ONE
+    region: same bucket ladder (cap*1.2 margin), same T truncation of
+    units and columns, same |c-j| <= T//4 band for buckets >= band_min_t,
+    same band-touch -> full-kernel retry and column-overflow -> bucket-up
+    retry.  Bit-identical with the device path, which is the production
+    engine's MSA; this is therefore the oracle the engine is tested
+    against."""
+    cap = max(len(u) for u in units)
+    lo = min(len(u) for u in units)
+    need = int(cap * 1.2) + 8
+    buckets = tuple(sorted(buckets))
+    T = next((b for b in buckets if b >= need), None)
+    spread = cap - lo
+    force_full = False
+    while T is not None:
+        # device driver's unit-length-spread precheck (see
+        # msa_device.consensus_batch): lengths differing by more than
+        # half the band guarantee a touch -> full kernels directly
+        wide = spread > ((T // 4 // 128) * 128) // 2
+        band = (T // 4 // 128) * 128 if (
+            T >= band_min_t and not force_full and not wide) else None
+        prof = Profile(np.asarray(units[0][:T], np.int64))
+        overflow = False
+        touch = False
+
+        def _one(u, prof, band):
+            sub = prof.sub_scores(match, mismatch)
+            wdel = prof.del_weights(gap_ext)
+            w2 = (prof.del_weights(gap_ext2)
+                  if gap_open2 is not None else None)
+            return align_to_profile(
+                np.asarray(u[:T], np.int64), sub, wdel, gap_open,
+                gap_ext, gap_open2, gap_ext2, w2, band=band)
+
+        for u in units[1:]:
+            ops = _one(u, prof, band)
+            if band is not None and _path_touches_band(ops, band):
+                touch = True
+                break
+            if len(ops) > T:
+                overflow = True
+                break
+            prof.update(np.asarray(u[:T], np.int64), ops)
+        if not touch and not overflow:
+            for _ in range(polish):
+                sub = prof.sub_scores(match, mismatch)
+                wdel = prof.del_weights(gap_ext)
+                w2 = (prof.del_weights(gap_ext2)
+                      if gap_open2 is not None else None)
+                counts = np.zeros_like(prof.counts)
+                for u in units:
+                    ops = align_to_profile(
+                        np.asarray(u[:T], np.int64), sub, wdel,
+                        gap_open, gap_ext, gap_open2, gap_ext2, w2,
+                        band=band)
+                    if band is not None and _path_touches_band(ops, band):
+                        touch = True
+                        break
+                    for kind, col, qpos in ops:
+                        if kind == "M":
+                            counts[col, np.asarray(u[:T])[qpos]] += 1
+                if touch:
+                    break
+                prof.counts = counts
+                prof.n_placed = len(units)
+        if touch:
+            force_full = True
+            continue
+        if overflow:
+            T = next((b for b in buckets if b > T), None)
+            force_full = False
+            continue
+        return prof.consensus()
+    # beyond the largest bucket: the device returns no result and the
+    # engine falls back to the plain full-width host pass
+    return profile_consensus(
+        units, match, mismatch, gap_open, gap_ext, polish=polish,
+        gap_open2=gap_open2, gap_ext2=gap_ext2)

@@ -41,9 +41,9 @@ def _msa_oracle(units: List[np.ndarray], mtp: Params):
             mtp.gap_open2,
             mtp.gap_ext2,
         )
-    from ..ops.poa_profile import profile_consensus
+    from ..ops.poa_profile import banded_profile_consensus
 
-    return profile_consensus(
+    return banded_profile_consensus(
         units, mtp.match, mtp.mismatch, mtp.gap_open1, mtp.gap_ext1,
         polish=getattr(mtp, "polish", 0),
         gap_open2=mtp.gap_open2, gap_ext2=mtp.gap_ext2,
