@@ -281,3 +281,57 @@ def test_device_msa_banded_sliding_window(monkeypatch):
     assert got[0] is not None
     np.testing.assert_array_equal(got[0][0], want[0])
     np.testing.assert_array_equal(got[0][1], want[1])
+
+
+def test_polish_recut_recovers_missing_unit():
+    """At 3 copies the anchor walk yields only 2 units (no anchor starts
+    past the last copy) and the reference's n<=2 fast path emits the
+    first unit verbatim; --polish's recut adopts the boundary-extension
+    span as an extra unit and rebuilds a real consensus."""
+    import sys
+
+    from tidehunter_tpu.io.codec import decode
+    from tidehunter_tpu.ops.myers import align_hw
+    from tidehunter_tpu.params import Params
+    from tidehunter_tpu.pipeline.core import tidehunter_core
+
+    rng = np.random.default_rng(17)
+    unit = rng.integers(0, 4, 800).astype(np.uint8)
+
+    def noisy():
+        out = []
+        for c in unit:
+            r = rng.random()
+            if r < 0.05:
+                continue
+            elif r < 0.10:
+                out.append(int(rng.integers(0, 4)))
+                out.append(int(c))
+            elif r < 0.16:
+                out.append(int(rng.integers(0, 4)))
+            else:
+                out.append(int(c))
+        return np.array(out, np.uint8)
+
+    parts = [rng.integers(0, 4, 80).astype(np.uint8)]
+    for _ in range(3):
+        parts.append(noisy())
+    parts.append(rng.integers(0, 4, 80).astype(np.uint8))
+    seq = decode(np.concatenate(parts))
+    du = decode(np.concatenate([unit, unit]))
+
+    def run(polish):
+        mtp = Params()
+        mtp.polish = polish
+        res = tidehunter_core(seq, mtp)
+        assert res.records
+        rec = max(res.records, key=lambda r: r.cons_len)
+        ed, _, _ = align_hw(rec.seq, du, k=-1)
+        return len(rec.sub_pos), 1 - ed / len(rec.seq)
+
+    n0, id0 = run(0)
+    n1, id1 = run(1)
+    assert n0 == 3          # 2 units: the reference-faithful outcome
+    assert n1 >= 4          # recut adopted the extension span
+    assert id1 > id0 + 0.02
+    assert id1 > 0.90

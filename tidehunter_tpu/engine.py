@@ -418,6 +418,22 @@ class Engine:
             res = self.aligner.run_ext([(reqs[i][1], reqs[i][2]) for i in idxs])
             for i, r in zip(idxs, res):
                 out[i] = r
+        if "gx" in by_kind:
+            # fused aveMatch identities + boundary extensions: both
+            # batches dispatch in the same round (the generator would
+            # otherwise pay two sequential round trips)
+            idxs = by_kind["gx"]
+            gflat, gspans, eflat, espans = [], [], [], []
+            for i in idxs:
+                gpairs, epairs = reqs[i][1], reqs[i][2]
+                gspans.append((len(gflat), len(gpairs)))
+                gflat.extend(gpairs)
+                espans.append((len(eflat), len(epairs)))
+                eflat.extend(epairs)
+            gres = self.aligner.run_giden(gflat)
+            eres = self.aligner.run_ext(eflat)
+            for i, (glo, gn), (elo, en) in zip(idxs, gspans, espans):
+                out[i] = (gres[glo:glo + gn], eres[elo:elo + en])
         if "exts" in by_kind:
             idxs = by_kind["exts"]
             flat = []

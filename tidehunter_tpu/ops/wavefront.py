@@ -152,7 +152,7 @@ def _qrow(qbuf_ref, qrr_ref, r, ti, B):
 
 
 def _global_kernel(
-    qbuf_ref, tgt_ref, qlen_ref, tlen_ref, qle_ref,
+    maxr_ref, qbuf_ref, tgt_ref, qlen_ref, tlen_ref, qle_ref,
     acc_ref,
     u_ref, v_ref, x_ref, y_ref, qrr_ref,
     a0e_ref, a0o_ref, a1e_ref, a1o_ref, a2e_ref, a2o_ref,
@@ -160,6 +160,10 @@ def _global_kernel(
 ):
     rk = pl.program_id(1)
     B = tgt_ref.shape[0]
+    # rows beyond the batch-wide max(qlen + tlen - 1) hold no live cells
+    # (the per-problem mask is all False there); with bucket padding that
+    # is ~40% of the LQ + T - 1 grid — skip their compute entirely
+    maxr = maxr_ref[0, 0]
     qlen = qlen_ref[:, 0:1]
     tlen = tlen_ref[:, 0:1]
     qle = qle_ref[:, 0:1]
@@ -182,6 +186,22 @@ def _global_kernel(
 
     for kk in range(K):
         r = rk * K + kk
+
+        @pl.when(r < maxr)
+        def _row(r=r, kk=kk):
+            _global_row(
+                qbuf_ref, qrr_ref, u_ref, v_ref, x_ref, y_ref,
+                a0e_ref, a0o_ref, a1e_ref, a1o_ref, a2e_ref, a2o_ref,
+                acc_ref, tb, qlen, tlen, ti, jS, has_q, r, kk, B,
+                scores,
+            )
+
+
+def _global_row(qbuf_ref, qrr_ref, u_ref, v_ref, x_ref, y_ref,
+                a0e_ref, a0o_ref, a1e_ref, a1o_ref, a2e_ref, a2o_ref,
+                acc_ref, tb, qlen, tlen, ti, jS, has_q, r, kk, B,
+                scores):
+    if True:
         qb = _qrow(qbuf_ref, qrr_ref, r, ti, B)
         mask, d, bit08, bit10, _, _ = _dp_row(
             (u_ref, v_ref, x_ref, y_ref), qb, tb, r, qlen, tlen, ti, scores
@@ -237,10 +257,13 @@ def _run_global_body(q_u8, tgt_u8, qlen, tlen, qle, LQ, T, K, scores):
     qbuf = _make_qbuf(q_u8.astype(jnp.int32), T)
     tgt = tgt_u8.astype(jnp.int32)
     LQplus = qbuf.shape[1]
+    maxr = jnp.max(qlen + tlen).reshape(1, 1)
     acc = pl.pallas_call(
         kern,
         grid=(NB, NR),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda b, r: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((BT, LQplus), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, T), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
@@ -253,7 +276,7 @@ def _run_global_body(q_u8, tgt_u8, qlen, tlen, qle, LQ, T, K, scores):
         out_shape=jax.ShapeDtypeStruct((B, T), jnp.int32),
         scratch_shapes=[pltpu.VMEM((BT, T), jnp.int32) for _ in range(11)],
         interpret=INTERPRET,
-    )(qbuf, tgt, qlen, tlen, qle)
+    )(maxr, qbuf, tgt, qlen, tlen, qle)
     packed = jnp.max(acc, axis=1)
     iden = packed >> TLB
     tl = (packed & TLMASK) - 1
@@ -266,7 +289,7 @@ def _run_global_body(q_u8, tgt_u8, qlen, tlen, qle, LQ, T, K, scores):
 
 
 def _ext_kernel(
-    qbuf_ref, tgt_ref, qlen_ref, tlen_ref,
+    maxr_ref, qbuf_ref, tgt_ref, qlen_ref, tlen_ref,
     besth_ref, bestr_ref, sacc_ref,
     u_ref, v_ref, x_ref, y_ref, qrr_ref, h_ref,
     *, T: int, K: int, scores: tuple,
@@ -279,6 +302,7 @@ def _ext_kernel(
     tlen = tlen_ref[:, 0:1]
     ti = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
     tb = tgt_ref[:]
+    maxr = maxr_ref[0, 0]   # rows past max(qlen+tlen-1) are all dead
 
     @pl.when(rk == 0)
     def _init():
@@ -292,6 +316,18 @@ def _ext_kernel(
 
     for kk in range(K):
         r = rk * K + kk
+
+        @pl.when(r < maxr)
+        def _row(r=r, kk=kk):
+            _ext_row(qbuf_ref, qrr_ref, u_ref, v_ref, x_ref, y_ref,
+                     h_ref, besth_ref, bestr_ref, sacc_ref,
+                     tb, qlen, tlen, ti, r, B, QE_, scores)
+
+
+def _ext_row(qbuf_ref, qrr_ref, u_ref, v_ref, x_ref, y_ref,
+             h_ref, besth_ref, bestr_ref, sacc_ref,
+             tb, qlen, tlen, ti, r, B, QE_, scores):
+    if True:
         qb = _qrow(qbuf_ref, qrr_ref, r, ti, B)
         mask, d, bit08, bit10, u_n, v_n = _dp_row(
             (u_ref, v_ref, x_ref, y_ref), qb, tb, r, qlen, tlen, ti, scores
@@ -335,12 +371,15 @@ def _run_ext_body(q_u8, tgt_u8, qlen, tlen, LQ, T, K, scores):
     qbuf = _make_qbuf(q_u8.astype(jnp.int32), T)
     tgt = tgt_u8.astype(jnp.int32)
     LQplus = qbuf.shape[1]
+    maxr = jnp.max(qlen + tlen).reshape(1, 1)
     out_spec = pl.BlockSpec((BT, T), lambda b, r: (b, 0),
                             memory_space=pltpu.VMEM)
     besth, bestr, sacc = pl.pallas_call(
         kern,
         grid=(NB, NR),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda b, r: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((BT, LQplus), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, T), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
@@ -355,7 +394,7 @@ def _run_ext_body(q_u8, tgt_u8, qlen, tlen, LQ, T, K, scores):
         ),
         scratch_shapes=[pltpu.VMEM((BT, T), jnp.int32) for _ in range(6)],
         interpret=INTERPRET,
-    )(qbuf, tgt, qlen, tlen)
+    )(maxr, qbuf, tgt, qlen, tlen)
 
     # post-pass: reference row-scan tie order for the winning row r*
     # (ksw2_extz2_sse.c:229-260 / ops/ksw2._row_max_scan)

@@ -105,9 +105,9 @@ def seqs_msa_gen(
 ):
     """Per-chain consensus over runs of partition positions
     (reference src/gen_cons.c:173-301), as a generator yielding requests:
-      ('msa', units)        -> (cons, cov)
-      ('giden', q, t)       -> iden_n
-      ('ext', q, t)         -> (max_q, max_t)
+      ('msa', units)            -> (cons, cov)
+      ('gx', [(q,t)], [(q,t)])  -> ([iden_n], [(max_q, max_t)])
+                                   (fused aveMatch + boundary ext round)
     """
     par_n = len(par_pos)
     want_qual = mtp.out_fmt in (FASTQ_FMT, TAB_QUAL_FMT)
@@ -123,45 +123,71 @@ def seqs_msa_gen(
             if mtp.only_unit:
                 result.add_unit(par_pos[i:j])
             else:
-                cons, qual, n_seqs = yield from _region_consensus_gen(
-                    bseq, seq_len, par_pos[i:j], mtp, want_qual
-                )
-                cons_len = len(cons)
-                if cons_len == 0:
-                    # the reference's `continue` here re-enters with identical
-                    # state (and with abPOA would loop forever); advance.
+                # pos_run may gain recut boundaries in polish mode (below)
+                pos_run = list(par_pos[i:j])
+                rejected = False
+                for recut_pass in range(2):
+                    cons, qual, n_seqs = yield from _region_consensus_gen(
+                        bseq, seq_len, pos_run, mtp, want_qual
+                    )
+                    cons_len = len(cons)
+                    if cons_len == 0:
+                        rejected = True
+                        break
+                    lengths = [
+                        pos_run[ki + 1] - pos_run[ki]
+                        for ki in range(len(pos_run) - 1)
+                    ]
+                    # aveMatch identities AND the boundary extensions
+                    # (gen_cons.c:217-223; ksw2_left_ext reverses both
+                    # sequences, src/ksw2_align.c:161-173) are mutually
+                    # independent once cons is known — ONE fused request,
+                    # so the engine resolves them in one dispatch round
+                    idens, ((lq, lt), (rq, rt)) = yield (
+                        "gx",
+                        [
+                            (bseq[pos_run[ki] + 1 : pos_run[ki + 1] + 1],
+                             cons)
+                            for ki in range(len(pos_run) - 1)
+                        ],
+                        [
+                            (cons[::-1], bseq[: pos_run[0] + 1][::-1]),
+                            (cons, bseq[pos_run[-1] + 1 :]),
+                        ],
+                    )
+                    # BEYOND-REFERENCE recut (polish mode only): the
+                    # anchor walk yields one unit fewer than the true
+                    # copy count when no anchor starts past the last copy
+                    # (at 3 copies the n<=2 fast path then emits the
+                    # first unit verbatim, abpoa_cons.c:60-83 — the whole
+                    # 3000x3 accuracy gap).  When boundary extension
+                    # recovers >=85% of a period on either flank, adopt
+                    # the extended span as an extra unit and redo the
+                    # consensus once.
+                    if recut_pass == 0 and getattr(mtp, "polish", 0) > 0:
+                        addl = lt >= 0.85 * cons_len and pos_run[0] - lt >= -1
+                        addr = rt >= 0.85 * cons_len
+                        if addl or addr:
+                            if addl:
+                                pos_run = [pos_run[0] - lt] + pos_run
+                            if addr:
+                                pos_run = pos_run + [pos_run[-1] + rt]
+                            continue
+                    break
+                if rejected:
+                    # the reference's `continue` here re-enters with
+                    # identical state (and with abPOA would loop
+                    # forever); advance.
                     i = j + 1
                     continue
-                # aveMatch: global identity of each unit vs consensus —
-                # all units batched as ONE request (one device round)
-                lengths = [
-                    par_pos[ki + 1] - par_pos[ki] for ki in range(i, j - 1)
-                ]
-                idens = yield (
-                    "gidens",
-                    [
-                        (bseq[par_pos[ki] + 1 : par_pos[ki + 1] + 1], cons)
-                        for ki in range(i, j - 1)
-                    ],
-                )
                 ave_match = sum(
                     iden_n * 100 / float(length)
                     for iden_n, length in zip(idens, lengths)
                 )
-                # boundary extension (gen_cons.c:217-223); ksw2_left_ext
-                # reverses both sequences (src/ksw2_align.c:161-173);
-                # left+right batched as ONE request
                 copy_num = float(n_seqs)
-                (lq, lt), (rq, rt) = yield (
-                    "exts",
-                    [
-                        (cons[::-1], bseq[: par_pos[i] + 1][::-1]),
-                        (cons, bseq[par_pos[j - 1] + 1 :]),
-                    ],
-                )
-                cons_start = par_pos[i] - lt
+                cons_start = pos_run[0] - lt
                 copy_num += (lq + 1.0) / cons_len
-                cons_end = par_pos[j - 1] + rt + 1
+                cons_end = pos_run[-1] + rt + 1
                 copy_num += (rq + 1.0) / cons_len
 
                 cons_seq = decode(cons)
@@ -190,7 +216,7 @@ def seqs_msa_gen(
                         copy_num=copy_num,
                         ave_match=ave_match / (j - i - 1),
                         full_length=full_length,
-                        sub_pos=par_pos[i:j],
+                        sub_pos=pos_run,
                     )
                     result.add_cons(rec, mtp)
         i = j + 1
@@ -215,6 +241,13 @@ def resolve_oracle(req, mtp: Params):
             res = ksw2.extz(q, t, score_only=True)
             out.append((res.max_q, res.max_t))
         return out
+    if kind == "gx":
+        idens = [ksw2.global_identity(q, t) for q, t in req[1]]
+        exts = []
+        for q, t in req[2]:
+            res = ksw2.extz(q, t, score_only=True)
+            exts.append((res.max_q, res.max_t))
+        return idens, exts
     raise ValueError(f"unknown request {kind}")
 
 
