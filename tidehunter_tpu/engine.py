@@ -670,23 +670,39 @@ class Engine:
                 halves[(ri, ci, 0)], halves[(ri, ci, 1)], ch
             )
 
-        # stage 3: consensus, strictly sequential per read, batched across
+        # stage 3: consensus. One generator PER (read, chain), all driven
+        # concurrently — a read's later chains would otherwise reach
+        # their 'msa' requests only after its first chain's consensus
+        # completed, creating tiny straggler MSA batches (each paying a
+        # full sequential unit-round wave). Each chain writes into its
+        # own buffer; buffers replay through add_cons in chain order
+        # afterwards, so record order and the admission filters
+        # (write_tandem_cons_seq incl. -l) see the reference sequence.
         consensus_gens = []
+        buffers: Dict[int, List[TandemResult]] = {}
         for ri, rec in enumerate(chunk):
             dp, chains = read_chains[ri]
-            chain_pars = []
+            buffers[ri] = []
             for ci in range(len(chains)):
                 par_pos = par_results[(ri, ci)]
                 if par_pos is None or len(par_pos) < mtp.min_copy + 1:
                     continue
-                chain_pars.append(par_pos)
-            consensus_gens.append(
-                _read_consensus_gen(
-                    len(rec.seq), bseqs[ri], chain_pars, results[ri], mtp
+                buf = _BufferResult()
+                buffers[ri].append(buf)
+                consensus_gens.append(
+                    _chain_consensus_gen(
+                        len(rec.seq), bseqs[ri], par_pos, buf, mtp
+                    )
                 )
-            )
         with METRICS.timed("consensus"):
             _drive(consensus_gens, self._resolve_batch)
+        for ri in range(len(chunk)):
+            for buf in buffers[ri]:
+                for kind_, a_, b_ in buf.calls:
+                    if kind_ == "cons":
+                        results[ri].add_cons(a_, b_)
+                    else:
+                        results[ri].add_unit(a_)
 
         # stage 4: single-copy full-length (host Myers)
         if (
@@ -701,10 +717,21 @@ class Engine:
         return results
 
 
-def _read_consensus_gen(seq_len, bseq, chain_pars, result, mtp):
-    """Run one read's chains sequentially (record order parity)."""
-    for par_pos in chain_pars:
-        yield from seqs_msa_gen(seq_len, bseq, par_pos, result, mtp)
+class _BufferResult:
+    """Captures add_cons/add_unit calls for ordered replay (stage 3)."""
+
+    def __init__(self) -> None:
+        self.calls: List[Tuple] = []
+
+    def add_cons(self, rec, mtp) -> None:
+        self.calls.append(("cons", rec, mtp))
+
+    def add_unit(self, sub_pos) -> None:
+        self.calls.append(("unit", sub_pos, None))
+
+
+def _chain_consensus_gen(seq_len, bseq, par_pos, result, mtp):
+    yield from seqs_msa_gen(seq_len, bseq, par_pos, result, mtp)
 
 
 def _collect_gen(gen):

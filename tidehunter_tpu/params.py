@@ -14,7 +14,14 @@ from typing import IO, Optional
 
 # Defaults: reference src/tidehunter.h:9-41
 THREAD_N = 4
-CHUNK_READ_N = 4096
+# The reference chunks 4096 reads per pthread fan-out (tidehunter.h:10);
+# our engine's batch shapes (wavefront fixed_b, DeviceMSA _dirs_b) are
+# tuned around ~512-read waves, and larger chunks measurably regress
+# (host-side padding/driving work contends with the pipelined prepare on
+# this 1-core VM; 4096-read chunks ran ~25% slower per read end to end).
+# Chunking has no output semantics — records stay in input order either
+# way — so this is a pure tuning divergence from the reference.
+CHUNK_READ_N = 512
 
 KMER_SIZE = 8
 MAX_KMER_SIZE = 16
