@@ -47,7 +47,7 @@ from .ops.seeding import collect_tandem_repeat_hits
 from .pipeline.consensus import (
     resolve_oracle,
     seqs_msa_gen,
-    single_copy_full_len_seq,
+    single_copy_full_len_gen,
 )
 from .utils.log import log
 from .utils.metrics import METRICS
@@ -445,6 +445,23 @@ class Engine:
             res = self.aligner.run_ext(flat)
             for i, (lo, n) in zip(idxs, spans):
                 out[i] = res[lo : lo + n]
+        if "hws" in by_kind:
+            # batched Myers HW adapter searches (ops/myers_jax.py): all
+            # requests' searches flatten into two device scans
+            from .ops.myers_jax import hw_batch
+
+            idxs = by_kind["hws"]
+            flat_q, flat_t, flat_k, spans = [], [], [], []
+            for i in idxs:
+                trips = reqs[i][1]
+                spans.append((len(flat_q), len(trips)))
+                for q, t, k in trips:
+                    flat_q.append(q)
+                    flat_t.append(t)
+                    flat_k.append(k)
+            res = hw_batch(flat_q, flat_t, flat_k) if flat_q else []
+            for i, (lo, n) in zip(idxs, spans):
+                out[i] = res[lo:lo + n]
         if "msa" in by_kind:
             idxs = by_kind["msa"]
             res = self._resolve_msa([reqs[i][1] for i in idxs])
@@ -704,7 +721,8 @@ class Engine:
                     else:
                         results[ri].add_unit(a_)
 
-        # stage 4: single-copy full-length (host Myers)
+        # stage 4: single-copy full-length — batched device Myers: all
+        # reads' adapter searches resolve in two 'hws' rounds
         if (
             mtp.single_copy
             and mtp.only_full_length
@@ -712,8 +730,11 @@ class Engine:
             and mtp.three_seq is not None
         ):
             with METRICS.timed("single_copy"):
-                for ri, rec in enumerate(chunk):
-                    single_copy_full_len_seq(rec.seq, results[ri], mtp)
+                sc_gens = [
+                    single_copy_full_len_gen(rec.seq, results[ri], mtp)
+                    for ri, rec in enumerate(chunk)
+                ]
+                _drive(sc_gens, self._resolve_batch)
         return results
 
 

@@ -200,8 +200,10 @@ def seqs_msa_gen(
                     and mtp.three_seq is not None
                     and cons_len > mtp.five_len + mtp.three_len
                 ):
-                    cons_seq, cons_qual, full_length = _full_length_trim(
-                        cons_seq, cons_qual, mtp
+                    cons_seq, cons_qual, full_length = (
+                        yield from _full_length_trim_gen(
+                            cons_seq, cons_qual, mtp
+                        )
                     )
                     cons_len = len(cons_seq)
 
@@ -241,6 +243,8 @@ def resolve_oracle(req, mtp: Params):
             res = ksw2.extz(q, t, score_only=True)
             out.append((res.max_q, res.max_t))
         return out
+    if kind == "hws":
+        return [align_hw(q, t, k) for q, t, k in req[1]]
     if kind == "gx":
         idens = [ksw2.global_identity(q, t) for q, t in req[1]]
         exts = []
@@ -269,7 +273,23 @@ def seqs_msa(
 
 
 def _full_length_trim(cons_seq: str, cons_qual, mtp: Params):
-    """Adapter search on 2x-concatenated consensus (gen_cons.c:227-291).
+    """Synchronous wrapper around _full_length_trim_gen (host oracle)."""
+    gen = _full_length_trim_gen(cons_seq, cons_qual, mtp)
+    try:
+        req = gen.send(None)
+        while True:
+            req = gen.send(resolve_oracle(req, mtp))
+    except StopIteration as stop:
+        return stop.value
+
+
+def _full_length_trim_gen(cons_seq: str, cons_qual, mtp: Params):
+    """Adapter search on 2x-concatenated consensus (gen_cons.c:227-291),
+    as a generator: all four HW searches (5'/3'rc forward + the reverse
+    pair) go out as ONE speculative 'hws' batch — the reference runs the
+    reverse pair only when the forward total isn't perfect
+    (gen_cons.c:256), but the extra searches are result-identical and
+    resolve in the same device round.
 
     Returns (seq, qual, full_length in {0,1,2})."""
     cons_len = len(cons_seq)
@@ -284,13 +304,22 @@ def _full_length_trim(cons_seq: str, cons_qual, mtp: Params):
 
     k5 = int(mtp.five_len * (1 - mtp.ada_match_rat))
     k3 = int(mtp.three_len * (1 - mtp.ada_match_rat))
+    res4 = yield (
+        "hws",
+        [
+            (mtp.five_seq, cons2, k5),
+            (mtp.three_rc_seq, cons2, k3),
+            (mtp.five_rc_seq, cons2, k5),
+            (mtp.three_seq, cons2, k3),
+        ],
+    )
 
     def forward():
         nonlocal tar_start, tar_end, full_length, tot_ed
-        _5_ed, _5_start, _5_end = align_hw(mtp.five_seq, cons2, k5)
+        _5_ed, _5_start, _5_end = res4[0]
         if _5_ed == -1:
             return False
-        _3_ed, _3_start, _3_end = align_hw(mtp.three_rc_seq, cons2, k3)
+        _3_ed, _3_start, _3_end = res4[1]
         if _3_ed == -1:
             return False
         if _3_start <= _5_end:
@@ -308,10 +337,10 @@ def _full_length_trim(cons_seq: str, cons_qual, mtp: Params):
 
     def reverse():
         nonlocal tar_start, tar_end, full_length
-        _5_ed, _5_start, _5_end = align_hw(mtp.five_rc_seq, cons2, k5)
+        _5_ed, _5_start, _5_end = res4[2]
         if _5_ed == -1:
             return
-        _3_ed, _3_start, _3_end = align_hw(mtp.three_seq, cons2, k3)
+        _3_ed, _3_start, _3_end = res4[3]
         if _3_ed == -1:
             return
         if _5_ed + _3_ed < tot_ed:
@@ -377,20 +406,67 @@ def _get_full_len_seq(mtp: Params, left_res, right_res):
 def single_copy_full_len_seq(
     seq: str, result: TandemResult, mtp: Params
 ) -> None:
-    """Single-copy full-length extraction (gen_cons.c:128-171). Note: the
-    consensus here is the RAW read slice (case preserved), qual = '!'."""
+    """Synchronous wrapper around single_copy_full_len_gen (host path)."""
+    gen = single_copy_full_len_gen(seq, result, mtp)
+    try:
+        req = gen.send(None)
+        while True:
+            req = gen.send(resolve_oracle(req, mtp))
+    except StopIteration:
+        pass
+
+
+def single_copy_full_len_gen(seq: str, result: TandemResult, mtp: Params):
+    """Single-copy full-length extraction (gen_cons.c:128-171) as a
+    generator: the four adapters' first placements batch as one 'hws'
+    round, the conditional prefix/suffix re-searches
+    (_collect_ed_res's up-to-3 placements, gen_cons.c:89-110) as a
+    second — so an adapter-heavy -s -F run resolves two device rounds
+    per chunk instead of up to twelve host searches per read.  The
+    reverse-orientation searches run speculatively (result-identical;
+    the reference gates them on tot_ed > 0).  Note: the consensus here
+    is the RAW read slice (case preserved), qual = '!'."""
     INT32_MAX = 2**31 - 1
     full_length = 0
     par = None
-    _5 = _collect_ed_res(mtp, mtp.five_seq, seq)
-    _3 = _collect_ed_res(mtp, mtp.three_rc_seq, seq)
+    qs = [mtp.five_seq, mtp.three_rc_seq, mtp.five_rc_seq, mtp.three_seq]
+    ks = [int(len(q) * (1 - mtp.ada_match_rat)) for q in qs]
+    r1 = yield ("hws", [(q, seq, k) for q, k in zip(qs, ks)])
+    reqs2 = []
+    meta = []
+    for ai, (q, k, first) in enumerate(zip(qs, ks, r1)):
+        ed, start, end = first
+        if ed == -1:
+            continue
+        if start >= len(q):
+            meta.append((ai, "pre", None, len(reqs2)))
+            reqs2.append((q, seq[:start], k))
+        if end <= len(seq) - len(q):
+            meta.append((ai, "suf", end, len(reqs2)))
+            reqs2.append((q, seq[end:], k))
+    r2 = (yield ("hws", reqs2)) if reqs2 else []
+    res = [[], [], [], []]
+    for ai, (q, k, first) in enumerate(zip(qs, ks, r1)):
+        ed, start, end = first
+        if ed == -1:
+            continue
+        res[ai].append(first)
+        for mai, kind_, off, ri2 in meta:
+            if mai != ai:
+                continue
+            ed2, s2, e2 = r2[ri2]
+            if ed2 == -1:
+                continue
+            if kind_ == "pre":
+                res[ai].append((ed2, s2, e2))
+            else:
+                res[ai].append((ed2, off + s2, off + e2))
+    _5, _3, _5r, _3r = res
     tot_ed, tar = _get_full_len_seq(mtp, _5, _3)
     if tot_ed != INT32_MAX:
         par = tar
         full_length = 1
     if tot_ed > 0:
-        _5r = _collect_ed_res(mtp, mtp.five_rc_seq, seq)
-        _3r = _collect_ed_res(mtp, mtp.three_seq, seq)
         tot2, tar2 = _get_full_len_seq(mtp, _3r, _5r)
         if tot2 < tot_ed:
             par = tar2
