@@ -755,7 +755,7 @@ class DeviceMSA:
         if key in self._dp_runs:
             return self._dp_runs[key]
         jax, jnp, pl, pltpu = _modules()
-        K = 8
+        K = 4
         B = _dirs_b(T)
         BT = min(B, _tile_bt(T))  # B is a BT multiple by construction
         n_rows = 2 * T - 1
