@@ -58,3 +58,22 @@ def test_merge_rejects_foreign_records(tmp_path):
     bogus.write_text("not_a_read\trep0\t1.0\t1\t1\t1\t1\t1.0\t0\t1\tA\n")
     with pytest.raises(ValueError, match="absent"):
         merge(fn, [str(bogus)], 2, io.StringIO())
+
+
+def test_gz_input_equals_plain(tmp_path):
+    """gzipped input -> identical output (magic-byte autodetect,
+    reference reads via gzread unconditionally, kseq.h)."""
+    import gzip
+    import io
+
+    fn = _write_reads(tmp_path, n=6, seed=9)
+    gz = tmp_path / "reads.fa.gz"
+    with open(fn, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    mtp = Params()
+    mtp.out_fmt = 2
+    a, b = io.StringIO(), io.StringIO()
+    runner.run(fn, mtp, out=a)
+    runner.run(str(gz), mtp, out=b)
+    assert a.getvalue() == b.getvalue()
+    assert a.getvalue().count("\n") > 0
