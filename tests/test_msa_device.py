@@ -82,3 +82,33 @@ def test_device_msa_polish_bit_exact_vs_host():
         cb, cov = r
         assert np.array_equal(cb, hb), f"region {ri} polished bases differ"
         assert np.array_equal(cov, hcov), f"region {ri} coverage differs"
+
+
+def test_device_msa_banded_bucket_hardware():
+    """Banded (>=1024) buckets on the chip vs the banded host mirror —
+    incl. the sliding window, the convex gap model, and a band-touching
+    region retried through the full kernels."""
+    from tidehunter_tpu.ops.msa_device import DeviceMSA
+    from tidehunter_tpu.ops.poa_profile import banded_profile_consensus
+
+    rng = np.random.default_rng(31)
+    regions = []
+    for i in range(6):
+        p = int(rng.integers(900, 1600))
+        unit = rng.integers(0, 4, p)
+        us = []
+        for _ in range(4):
+            u = list(np.where(rng.random(p) < 0.08,
+                              rng.integers(0, 4, p), unit))
+            if i == 0 and len(us) == 1:
+                del u[100:420]  # force a band touch -> full retry
+            us.append(np.array(u, np.uint8))
+        regions.append(us)
+    dm = DeviceMSA(2, 4, 4, 2, gap_open2=24, gap_ext2=1)
+    got = dm.consensus_batch(regions)
+    for reg, r in zip(regions, got):
+        want = banded_profile_consensus(reg, 2, 4, 4, 2,
+                                        gap_open2=24, gap_ext2=1)
+        assert r is not None
+        np.testing.assert_array_equal(r[0], want[0])
+        np.testing.assert_array_equal(r[1], want[1])
