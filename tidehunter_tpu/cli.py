@@ -396,8 +396,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     except FileNotFoundError as exc:
         sys.stderr.write(f"[main] Error: can not open file {exc.filename}\n")
         return 1
-    if profile_cm is not None:
-        profile_cm.__exit__(None, None, None)
+    finally:
+        # close even on early return/raise so the trace is flushed
+        if profile_cm is not None:
+            profile_cm.__exit__(None, None, None)
     log(resource_line(), func="main")
     log(
         f"reads: {metrics.reads}; consensus records: {metrics.cons_records}; "

@@ -43,7 +43,7 @@ from .ops.partition import (
     partition_walk_left,
     partition_walk_right,
 )
-from .ops.seeding import collect_tandem_repeat_hits
+from .ops.seeding_native import collect_tandem_repeat_hits
 from .pipeline.consensus import (
     resolve_oracle,
     seqs_msa_gen,
@@ -59,19 +59,22 @@ CELL_CAP = 160_000
 MSA_ROUNDS = 2
 
 
-def _shape_stable_b(n: int, BF: int, sub=None) -> int:
-    """Round n up to a shape-stable batch: a sub-shape below BF when the
-    kernel offers one (wavefront.sub_b — small rounds avoid padding 4x
-    into the full BF), else BF * 2^k so the set of concat shapes XLA ever
-    compiles stays finite (a new shape costs ~0.3-1.2 s on this cache-less
-    platform; padding costs ~ms)."""
-    if sub is not None and n <= BF:
-        return sub(n)
-    parts = -(-n // BF)
-    p2 = 1
-    while p2 < parts:
-        p2 *= 2
-    return BF * p2
+def _piecewise(idxs: List[int], BF: int, sub) -> List[Tuple[List[int], int]]:
+    """Split a request group into shape-stable pieces: whole BF batches
+    plus one sub-shape remainder (wavefront.sub_b).  Replaces the old
+    BF * 2^k rounding, which padded a 4608-row round to 8192 rows — 75%
+    of dispatched device rows were padding (round-2 weak point #1).  The
+    shape set stays finite ({BF, BF/2, BF/4, BF/8} per bucket), so each
+    still compiles once per process on this cache-less platform."""
+    out: List[Tuple[List[int], int]] = []
+    i = 0
+    while len(idxs) - i > BF:
+        out.append((idxs[i:i + BF], BF))
+        i += BF
+    rem = idxs[i:]
+    if rem:
+        out.append((rem, sub(len(rem))))
+    return out
 
 
 def fixed_batch_size(bucket: int) -> int:
@@ -198,18 +201,21 @@ class BatchAligner:
             placed: List[Tuple[List[int], int]] = []
             off = 0
             for (LQ, LT), idxs in groups.items():
-                B = _shape_stable_b(
-                    len(idxs), self.wf.fixed_b(LT),
-                    sub=lambda n, T=LT: self.wf.sub_b(T, n),
+                pieces = _piecewise(
+                    idxs, self.wf.fixed_b(LT),
+                    lambda n, T=LT: self.wf.sub_b(T, n),
                 )
-                q, qlen, t, tlen = self._pad(reqs, idxs, LQ, LT, exact_B=B)
-                qle = np.zeros(B, np.int32)
-                for row, i in enumerate(idxs):
-                    qle[row] = max(0, reqs[i][2])
-                iden, tleft = self.wf.global_batch(q, qlen, t, tlen, qle, scores)
-                chunks.append(jnp.stack([iden, tleft], axis=1))
-                placed.append((idxs, off))
-                off += B
+                for pidx, B in pieces:
+                    q, qlen, t, tlen = self._pad(
+                        reqs, pidx, LQ, LT, exact_B=B)
+                    qle = np.zeros(B, np.int32)
+                    for row, i in enumerate(pidx):
+                        qle[row] = max(0, reqs[i][2])
+                    iden, tleft = self.wf.global_batch(
+                        q, qlen, t, tlen, qle, scores)
+                    chunks.append(jnp.stack([iden, tleft], axis=1))
+                    placed.append((pidx, off))
+                    off += B
             if chunks:
                 res = np.asarray(
                     chunks[0] if len(chunks) == 1
@@ -266,15 +272,18 @@ class BatchAligner:
             placed: List[Tuple[List[int], int]] = []
             off = 0
             for (LQ, LT), idxs in groups.items():
-                B = _shape_stable_b(
-                    len(idxs), self.wf.fixed_b(LT),
-                    sub=lambda n, T=LT: self.wf.sub_b(T, n),
+                pieces = _piecewise(
+                    idxs, self.wf.fixed_b(LT),
+                    lambda n, T=LT: self.wf.sub_b(T, n),
                 )
-                q, qlen, t, tlen = self._pad(reqs, idxs, LQ, LT, exact_B=B)
-                _mx, mt, mq, _sc = self.wf.ext_batch(q, qlen, t, tlen, scores)
-                chunks.append(jnp.stack([mq, mt], axis=1))
-                placed.append((idxs, off))
-                off += B
+                for pidx, B in pieces:
+                    q, qlen, t, tlen = self._pad(
+                        reqs, pidx, LQ, LT, exact_B=B)
+                    _mx, mt, mq, _sc = self.wf.ext_batch(
+                        q, qlen, t, tlen, scores)
+                    chunks.append(jnp.stack([mq, mt], axis=1))
+                    placed.append((pidx, off))
+                    off += B
             if chunks:
                 res = np.asarray(
                     chunks[0] if len(chunks) == 1
@@ -324,6 +333,28 @@ class BatchAligner:
             for row, i in enumerate(sub):
                 out[i] = (ops[row], int(n[row]))
         return out
+
+
+_LIVE_ENGINES: "weakref.WeakSet" = None  # type: ignore[assignment]
+
+
+def _register_engine(engine: "Engine") -> None:
+    """One module-level atexit hook over weakrefs: engines stay
+    garbage-collectable (close() shuts their thread pool down) while
+    stragglers still get their pools reaped at interpreter exit."""
+    global _LIVE_ENGINES
+    import weakref
+
+    if _LIVE_ENGINES is None:
+        _LIVE_ENGINES = weakref.WeakSet()
+        import atexit
+
+        def _close_all() -> None:
+            for eng in list(_LIVE_ENGINES):
+                eng.close()
+
+        atexit.register(_close_all)
+    _LIVE_ENGINES.add(engine)
 
 
 def _drive(gens: List, resolver) -> None:
@@ -379,9 +410,7 @@ class Engine:
         )
         self._pool = None
         self._pool_n = 0
-        import atexit
-
-        atexit.register(self.close)
+        _register_engine(self)
 
     # --- request resolution ---
 

@@ -16,7 +16,7 @@ import sys
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "chainx.c")
+_SRCS = [os.path.join(_DIR, "chainx.c"), os.path.join(_DIR, "seedx.c")]
 _LIB = os.path.join(_DIR, "libchainx.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -25,7 +25,7 @@ _tried = False
 
 def _build() -> bool:
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC]
+    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", _LIB] + _SRCS
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
@@ -40,7 +40,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    if not os.path.exists(_LIB) or any(
+        os.path.getmtime(_LIB) < os.path.getmtime(src) for src in _SRCS
+    ):
         if not _build():
             return None
     try:
@@ -49,8 +51,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         print(f"[native] load failed: {exc}", file=sys.stderr)
         return None
     i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.th_chain.restype = ctypes.c_int64
     lib.th_chain.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64,
                              i64p, i64p, i64p]
+    lib.th_seed.restype = ctypes.c_int64
+    lib.th_seed.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                            ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+                            i64p, i64p]
     _lib = lib
     return _lib

@@ -56,6 +56,133 @@ static inline int get_con_score(
     return REG_CON;
 }
 
+/* ------------------------------------------------------------------ *
+ * Vectorized DP scan (AVX-512, runtime-detected).
+ *
+ * Semantics: identical to the scalar loop below, exploiting that with
+ * one hit per end position (always true for w=1 seeding: at most one
+ * self-hit is emitted per k-mer occurrence) every end-group is a
+ * singleton, so the group scan is a backward scan over flat indices.
+ * A 16-lane block computes connection class + score for 16 predecessors
+ * at once; the sequential state machine (running max, iter_n cutoff,
+ * SAME/OVL stops) then only visits the connectable lanes via bit
+ * scanning — NO_CON runs collapse into arithmetic on iter_n.  The
+ * float-free ratio test 5*cur_p >= 9*pre_p is exactly equivalent to the
+ * reference's (double)cur_p >= pre_p*1.8 for all periods < 2^26 (1.8 in
+ * binary64 is 9/5 + 4.44e-17; the rounded product never crosses an
+ * integer boundary in this range).
+ * ------------------------------------------------------------------ */
+#if defined(__x86_64__) && defined(__GNUC__)
+#include <immintrin.h>
+
+__attribute__((target("avx512f,avx512cd,avx512bw,avx512dq,avx512vl")))
+static void run_dp_avx(
+    const int32_t *ends, const int32_t *starts, int32_t *score,
+    int32_t *from, int64_t n, int32_t k)
+{
+    const __m512i v9 = _mm512_set1_epi32(9);
+    const __m512i v5 = _mm512_set1_epi32(5);
+    const __m512i v31 = _mm512_set1_epi32(31);
+    const __m512i v2k = _mm512_set1_epi32(2 * k);
+    const __m512i vk = _mm512_set1_epi32(k);
+    for (int64_t cur = 1; cur < n; ++cur) {
+        int32_t cs = starts[cur], ce = ends[cur];
+        int32_t cp = ce - cs;
+        int32_t max_score = score[cur];
+        int64_t max_pre = -1;
+        int32_t max_h = cp, iter_n = 0;
+        const __m512i v_cs = _mm512_set1_epi32(cs);
+        const __m512i v_ce = _mm512_set1_epi32(ce);
+        const __m512i v_cp = _mm512_set1_epi32(cp);
+        const __m512i v_9cp = _mm512_set1_epi32(9 * cp);
+        const __m512i v_5cp = _mm512_set1_epi32(5 * cp);
+        int done = 0;
+        for (int64_t hi = cur - 1; hi >= 0 && !done; hi -= 16) {
+            int64_t lo = hi - 15 < 0 ? 0 : hi - 15;
+            int nl = (int)(hi - lo + 1);
+            __mmask16 ml = (__mmask16)(nl == 16 ? 0xFFFFu : ((1u << nl) - 1u));
+            __m512i ew = _mm512_maskz_loadu_epi32(ml, ends + lo);
+            __m512i sw = _mm512_maskz_loadu_epi32(ml, starts + lo);
+            __m512i scv = _mm512_maskz_loadu_epi32(ml, score + lo);
+            __m512i pp = _mm512_sub_epi32(ew, sw);
+            /* scan break: end[pre] < cur_start (ends ascending -> the
+             * invalid lanes are a low-lane prefix) */
+            __mmask16 valid = _mm512_mask_cmpge_epi32_mask(ml, ew, v_cs);
+            if (valid != ml) done = 1;
+            if (!valid) break;
+            int floor_lane = __builtin_ctz((unsigned)valid);
+            __mmask16 c1 = _mm512_cmple_epi32_mask(v_cs, sw);
+            __m512i pp9 = _mm512_mullo_epi32(pp, v9);
+            __m512i pp5 = _mm512_mullo_epi32(pp, v5);
+            __mmask16 c2 = _mm512_cmpge_epi32_mask(v_5cp, pp9);
+            __mmask16 c3 = _mm512_cmpge_epi32_mask(pp5, v_9cp);
+            __mmask16 interesting =
+                valid & (__mmask16)~(c1 | c2 | c3);
+            __m512i dis1 = _mm512_sub_epi32(v_ce, ew);
+            __m512i dis2 = _mm512_sub_epi32(v_cs, sw);
+            __m512i matched = _mm512_add_epi32(
+                _mm512_min_epi32(dis1, vk), _mm512_min_epi32(dis2, vk));
+            __m512i dlt = _mm512_abs_epi32(_mm512_sub_epi32(v_cp, pp));
+            __m512i d2 = _mm512_srli_epi32(_mm512_mullo_epi32(dlt, dlt), 1);
+            __m512i ds = _mm512_add_epi32(dis1, dis2);
+            __m512i lg = _mm512_sub_epi32(v31, _mm512_lzcnt_epi32(ds));
+            __m512i gap = _mm512_add_epi32(d2, _mm512_srli_epi32(lg, 1));
+            __m512i sc = _mm512_add_epi32(
+                scv, _mm512_sub_epi32(matched, gap));
+            __mmask16 same_ovl =
+                _mm512_cmpeq_epi32_mask(dlt, _mm512_setzero_si512());
+            __mmask16 ovl = same_ovl &
+                _mm512_cmplt_epi32_mask(matched, v2k);
+            int32_t sc_a[16];
+            _mm512_storeu_si512((__m512i *)sc_a, sc);
+            unsigned im = interesting;
+            int prev = nl;      /* one above the next lane to account */
+            while (im) {
+                int lane = 31 - __builtin_clz(im);
+                int gaplen = prev - 1 - lane;   /* NO_CON lanes above */
+                if (iter_n + gaplen >= max_h) { done = 1; break; }
+                iter_n += gaplen;
+                int32_t s = sc_a[lane];
+                int is_o = (ovl >> lane) & 1;
+                int is_so = (same_ovl >> lane) & 1;
+                if (s > max_score) {
+                    max_score = s; max_pre = lo + lane;
+                    if (is_so) { done = 1; break; }  /* SAME or OVL stop */
+                    iter_n = 0;                       /* gt: REG improving */
+                } else if (is_o) {
+                    done = 1; break;                  /* OVL stop */
+                } else if (++iter_n >= max_h) {
+                    done = 1; break;
+                }
+                prev = lane;
+                im &= (1u << lane) - 1u;
+            }
+            if (!done) {
+                /* trailing NO_CON lanes down to the scan floor */
+                int gaplen = prev - floor_lane;
+                if (iter_n + gaplen >= max_h) done = 1;
+                else iter_n += gaplen;
+            }
+        }
+        if (max_pre >= 0) { score[cur] = max_score; from[cur] = (int32_t)max_pre; }
+    }
+}
+
+static int avx512_ok(void)
+{
+    static int cached = -1;
+    if (cached < 0)
+        cached = __builtin_cpu_supports("avx512f")
+              && __builtin_cpu_supports("avx512cd")
+              && __builtin_cpu_supports("avx512bw")
+              && __builtin_cpu_supports("avx512dq")
+              && __builtin_cpu_supports("avx512vl");
+    return cached;
+}
+#else
+static int avx512_ok(void) { return 0; }
+#endif
+
 /* ranking entry */
 typedef struct { int64_t flat, grp, j, score; } rank_t;
 
@@ -110,7 +237,37 @@ int64_t th_chain(
         gptr[tot_n] = n;
     }
 
-    /* main DP (tandem_chain.c:321-356) */
+    /* main DP (tandem_chain.c:321-356) — vectorized fast path when every
+     * end-group is a singleton and values fit the 32-bit lane bounds
+     * (periods < 2^15 keeps delta^2 in int32; see run_dp_avx header) */
+    int use_avx = 0;
+#if defined(__x86_64__) && defined(__GNUC__)
+    if (tot_n == n && avx512_ok() && ends[n - 1] < (1 << 30)) {
+        int64_t maxp = 0;
+        for (i = 0; i < n; ++i)
+            if (periods[i] > maxp) maxp = periods[i];
+        if (maxp < (1 << 15)) {
+            int32_t *e32 = (int32_t *)malloc(n * 4);
+            int32_t *s32 = (int32_t *)malloc(n * 4);
+            int32_t *sc32 = (int32_t *)malloc(n * 4);
+            int32_t *fr32 = (int32_t *)malloc(n * 4);
+            for (i = 0; i < n; ++i) {
+                e32[i] = (int32_t)ends[i];
+                s32[i] = (int32_t)start[i];
+                sc32[i] = (int32_t)score[i];
+                fr32[i] = -1;
+            }
+            run_dp_avx(e32, s32, sc32, fr32, n, (int32_t)k);
+            for (i = 0; i < n; ++i) {
+                score[i] = sc32[i];
+                from[i] = fr32[i];
+            }
+            free(e32); free(s32); free(sc32); free(fr32);
+            use_avx = 1;
+        }
+    }
+#endif
+    if (!use_avx)
     for (int64_t gi = 1; gi < tot_n; ++gi) {
         for (int64_t cur = gptr[gi]; cur < gptr[gi + 1]; ++cur) {
             int64_t cs = start[cur], ce = ends[cur];
@@ -138,17 +295,37 @@ int64_t th_chain(
         }
     }
 
-    /* rank positive cells: (grp desc, j asc) stable under score desc */
+    /* rank positive cells: (grp desc, j asc) stable under score desc.
+     * Collection order IS the tie order, so a stable counting sort by
+     * score replaces the comparison sort (scores are small ints: <= 2k
+     * per chain link; qsort was ~40% of the whole post-processing). */
     rank_t *rank = (rank_t *)malloc(n * sizeof(rank_t));
     int64_t rn = 0;
+    int64_t smax = 0;
     for (int64_t gi = tot_n - 1; gi >= 0; --gi)
         for (int64_t f = gptr[gi]; f < gptr[gi + 1]; ++f)
             if (score[f] > 0) {
                 rank[rn].flat = f; rank[rn].grp = gi;
                 rank[rn].j = f - gptr[gi]; rank[rn].score = score[f];
+                if (score[f] > smax) smax = score[f];
                 rn++;
             }
-    qsort(rank, rn, sizeof(rank_t), rank_cmp);
+    if (rn > 64 && smax <= (1 << 18)) {
+        int64_t *cnt = (int64_t *)calloc(smax + 2, sizeof(int64_t));
+        rank_t *sorted = (rank_t *)malloc(rn * sizeof(rank_t));
+        for (int64_t r = 0; r < rn; ++r)
+            cnt[smax - rank[r].score]++;           /* descending key */
+        int64_t acc = 0;
+        for (int64_t s = 0; s <= smax; ++s) {
+            int64_t c = cnt[s]; cnt[s] = acc; acc += c;
+        }
+        for (int64_t r = 0; r < rn; ++r)
+            sorted[cnt[smax - rank[r].score]++] = rank[r];
+        memcpy(rank, sorted, rn * sizeof(rank_t));
+        free(sorted); free(cnt);
+    } else {
+        qsort(rank, rn, sizeof(rank_t), rank_cmp);
+    }
 
     /* chain cell buffers allocate lazily: typical reads produce 1-3
      * chains, so eagerly mallocing TOP_N=1000 tot_n-sized buffers per

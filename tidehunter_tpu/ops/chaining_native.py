@@ -1,6 +1,11 @@
 """Native-backed chaining: same results as ops/chaining.py, C speed.
 
 Falls back to the Python oracle when the native library can't be built.
+
+The returned grid is a lightweight view (start/end arrays only): the
+downstream partition walk reads nothing else, and building the full
+DpGrid (group cumsums, score/from arrays) per read cost more Python time
+than the whole native DP.
 """
 
 from __future__ import annotations
@@ -11,12 +16,23 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..native import get_lib
-from .chaining import TOP_N, Chain, DpGrid, tandem_chain as _py_tandem_chain
+from .chaining import TOP_N, Chain, tandem_chain as _py_tandem_chain
+
+
+class DpView:
+    """start/end of every hit cell — the only DpGrid fields the partition
+    walk (ops/partition.py) and the debug dump (pipeline/core.py) read."""
+
+    __slots__ = ("start", "end")
+
+    def __init__(self, ends: np.ndarray, periods: np.ndarray) -> None:
+        self.end = ends
+        self.start = ends - periods
 
 
 def tandem_chain_native(
     ends: np.ndarray, periods: np.ndarray, k: int
-) -> Tuple[Optional[DpGrid], List[Chain]]:
+) -> Tuple[Optional[object], List[Chain]]:
     lib = get_lib()
     if lib is None:
         return _py_tandem_chain(ends, periods, k)
@@ -38,13 +54,13 @@ def tandem_chain_native(
         out_offsets.ctypes.data_as(i64p),
         out_est.ctypes.data_as(i64p),
     )
-    dp = DpGrid(ends64, per64, k)
+    dp = DpView(ends64, per64)
     chains: List[Chain] = []
     for ci in range(n_post):
         lo, hi = int(out_offsets[ci]), int(out_offsets[ci + 1])
         chains.append(
             Chain(
-                cells=[int(x) for x in out_cells[lo:hi]],
+                cells=out_cells[lo:hi],
                 est_period=int(out_est[ci * 3 + 0]),
                 est_start=int(out_est[ci * 3 + 1]),
                 est_ch_i=int(out_est[ci * 3 + 2]),

@@ -205,7 +205,10 @@ def minimizer_hash_vec(
     n = len(keys)
     if n == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
-    if use_hpc and n > k:
+    if use_hpc and n >= k:
+        # first k-mer spans from the read start (pos[-1] == -1 notionally)
+        if pos[k - 1] + 1 >= 255:
+            return None
         spans = pos[k:] - pos[:-k]
         if len(spans) and spans.max() >= 255:
             return None

@@ -521,14 +521,15 @@ def _pad_rows(arrs, B, Bp, fills):
 
 
 def sub_b(T: int, n: int) -> int:
-    """Smallest shape-stable batch >= n: one of {BF/4, BF/2, BF} (each a
-    mesh-granularity multiple) below fixed_b, else fixed_b multiples.
-    Small dispatch rounds (a few hundred rows) would otherwise pad 4x into
-    the full BF and pay 4x the kernel time; the two extra sub-shapes
-    compile once."""
+    """Smallest shape-stable batch >= n: one of {BF/8, BF/4, BF/2, BF}
+    (each a mesh-granularity multiple) below fixed_b, else fixed_b
+    multiples.  Small dispatch rounds (a few hundred rows) would
+    otherwise pad 8x into the full BF and pay 8x the kernel time; the
+    three extra sub-shapes compile once each (and only when a round of
+    that size actually occurs)."""
     BF = fixed_b(T)
     g = tile_b(T) * _mesh_n()
-    for div in (4, 2):
+    for div in (8, 4, 2):
         cand = max(g, BF // div // g * g)
         if n <= cand and cand < BF:
             return cand

@@ -216,7 +216,9 @@ def seqs_msa_gen(
                         start=cons_start,
                         end=cons_end,
                         copy_num=copy_num,
-                        ave_match=ave_match / (j - i - 1),
+                        # divisor = units actually summed (len(pos_run)-1;
+                        # == j-i-1 except after a polish recut added units)
+                        ave_match=ave_match / (len(pos_run) - 1),
                         full_length=full_length,
                         sub_pos=pos_run,
                     )
