@@ -16,6 +16,7 @@ from tidehunter_tpu.ops.poa_profile import (
     SCALE,
     Profile,
     align_to_profile,
+    banded_profile_consensus,
     profile_consensus,
 )
 
@@ -187,8 +188,8 @@ def test_device_msa_dual_affine_matches_host(monkeypatch):
         regions.append(us)
     got = dm.consensus_batch(regions)
     for reg, r in zip(regions, got):
-        want = profile_consensus(reg, 2, 4, 4, 2,
-                                 gap_open2=24, gap_ext2=1)
+        want = banded_profile_consensus(reg, 2, 4, 4, 2,
+                                        gap_open2=24, gap_ext2=1)
         assert r is not None
         np.testing.assert_array_equal(r[0], want[0])
         np.testing.assert_array_equal(r[1], want[1])
@@ -230,7 +231,6 @@ def test_device_msa_banded_matches_host(monkeypatch):
 
     monkeypatch.setattr(MD, "INTERPRET", True)
     monkeypatch.setattr(MD, "_B_CAP", 8)
-    monkeypatch.setattr(MD, "BAND_MIN_T", 512)
     dm = MD.DeviceMSA(2, 4, 4, 2, gap_open2=24, gap_ext2=1)
     rng = np.random.default_rng(99)
     regions = []
@@ -252,7 +252,7 @@ def test_device_msa_banded_matches_host(monkeypatch):
     got = dm.consensus_batch(regions)
     for reg, r in zip(regions, got):
         want = banded_profile_consensus(
-            reg, 2, 4, 4, 2, gap_open2=24, gap_ext2=1, band_min_t=512)
+            reg, 2, 4, 4, 2, gap_open2=24, gap_ext2=1)
         assert r is not None
         np.testing.assert_array_equal(r[0], want[0])
         np.testing.assert_array_equal(r[1], want[1])

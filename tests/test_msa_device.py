@@ -56,13 +56,13 @@ def _regions(seed=7, n_regions=40):
 
 def test_device_msa_bit_exact_vs_host():
     from tidehunter_tpu.ops.msa_device import DeviceMSA
-    from tidehunter_tpu.ops.poa_profile import profile_consensus
+    from tidehunter_tpu.ops.poa_profile import banded_profile_consensus
 
     regions = _regions()
     msa = DeviceMSA(2, 4, 4, 2)
     dev = msa.consensus_batch(regions)
     for ri, r in enumerate(dev):
-        hb, hcov = profile_consensus(regions[ri], 2, 4, 4, 2)
+        hb, hcov = banded_profile_consensus(regions[ri], 2, 4, 4, 2)
         assert r is not None, f"region {ri} unexpectedly fell back"
         cb, cov = r
         assert np.array_equal(cb, hb), f"region {ri} bases differ"
@@ -71,13 +71,14 @@ def test_device_msa_bit_exact_vs_host():
 
 def test_device_msa_polish_bit_exact_vs_host():
     from tidehunter_tpu.ops.msa_device import DeviceMSA
-    from tidehunter_tpu.ops.poa_profile import profile_consensus
+    from tidehunter_tpu.ops.poa_profile import banded_profile_consensus
 
     regions = _regions(seed=11, n_regions=20)
     msa = DeviceMSA(2, 4, 4, 2, polish=1)
     dev = msa.consensus_batch(regions)
     for ri, r in enumerate(dev):
-        hb, hcov = profile_consensus(regions[ri], 2, 4, 4, 2, polish=1)
+        hb, hcov = banded_profile_consensus(
+            regions[ri], 2, 4, 4, 2, polish=1)
         assert r is not None, f"region {ri} unexpectedly fell back"
         cb, cov = r
         assert np.array_equal(cb, hb), f"region {ri} polished bases differ"

@@ -63,10 +63,13 @@ INTERPRET = os.environ.get("TH_PALLAS_INTERPRET", "") == "1"
 # ~1000x slower than hardware; production leaves this None).
 _B_CAP = None
 
-# Buckets at or above this width use the |c-j|-banded DP/backtrack by
-# default (with full-kernel retry on band touch).  Below it the band's
-# fixed 384-lane margin eats the savings.
-BAND_MIN_T = 1024
+# Band window ladder: a region runs at the narrowest eligible window
+# (wb = W - 8 must fit twice the unit-length spread), escalating one rung
+# on band-touch, with the full-width kernel as the last rung.  DP cost is
+# rows * W, so W=128 beats the full kernel ~T/128 x.  Defined in
+# poa_profile so the host oracle (banded_profile_consensus) and the
+# device driver share ONE definition.
+from .poa_profile import BAND_LADDER, band_ladder  # noqa: F401
 
 
 def _modules():
@@ -233,30 +236,36 @@ def _dp_one_row(jax, jnp, pl, pltpu, r, kk, T, costs,
     dirs_ref[kk] = jnp.where(mask, d, jnp.uint8(0))
 
 
-def _band_base(jnp, r, T, WP):
-    """Per-row window base: 128-aligned cover of the |c-j| <= Wb band's
-    lane range [(r-Wb)/2, (r+Wb)/2] (Wb = WP - 384), clamped to
-    [0, T-WP], with a full extra 128-lane margin on the left so every
-    live lane has slice index >= 1 (the in-window rolls wrap at slice
-    lane 0; the margin keeps wrapped values strictly outside the band).
-    Works with both python-int and traced r."""
-    Wb = WP - 384
-    lo = (r - Wb) // 2
-    base = lo // 128 * 128 - 128
+def _band_base(jnp, r, T, W):
+    """Per-row window base for the |c-j| <= wb band (wb = W - 8): the
+    band's live lane range at anti-diagonal r is
+    [(r-wb)/2, (r+wb)/2] (wb+1 lanes), so the base slides by exactly one
+    lane every two rows; clamped to [0, T-W].  The -2 keeps two lanes of
+    left slack so a left-band-edge cell's in-band M/F predecessors are
+    still inside the window after the slide (live lanes sit in
+    [2, wb+5] of the W-lane window).  Works with python-int and traced
+    r."""
+    wb = W - 8
+    base = ((r - wb) >> 1 if isinstance(r, int) else
+            jnp.right_shift(r - wb, 1)) - 2
     if isinstance(r, int):
-        return max(0, min(base, T - WP))
-    return jnp.maximum(0, jnp.minimum(base, T - WP))
+        return max(0, min(base, T - W))
+    return jnp.maximum(0, jnp.minimum(base, T - W))
 
 
-def _make_dp_kernel_banded(T: int, K: int, WP: int, oi: int, ei: int,
+def _make_dp_kernel_banded(T: int, K: int, W: int, oi: int, ei: int,
                            od: int, oi2: int, ei2: int, od2: int):
-    """|c-j| <= Wb banded variant: scratch and dirs live in a WP-wide
-    window that slides right with the anti-diagonal (one 128-lane shift
-    every 256 rows — a static decision per unrolled row).  Rows cost WP
-    lanes instead of T; regions whose optimal path leaves the band are
-    flagged by the update step and retried through the full kernel, and
-    the host oracle applies the identical band + retry rule, so the
-    host/device pair stays bit-equal."""
+    """|c-j| <= wb banded variant (wb = W - 8): scratch and dirs live in
+    a W-lane window that slides right by ONE lane every two
+    anti-diagonals (a conditional roll of the scratch refs — no
+    alignment margin, unlike the retired 384-lane-margin design; at
+    W=128 a row costs 128 lanes against the full kernel's T).  The
+    sub/weight arrays are read through 128-aligned dynamic slices
+    rotated into window position with a dynamic pltpu.roll.  Regions
+    whose optimal path reaches the band edge are flagged by the touch
+    step and retried wider/full; the host oracle
+    (ops/poa_profile.banded_profile_consensus) applies the identical
+    band + ladder rule, so the host/device pair stays bit-equal."""
     jax, jnp, pl, pltpu = _modules()
 
     def kernel(maxr_ref, qbuf_ref, sub_ref, wl_ref, wdel_ref,
@@ -275,8 +284,8 @@ def _make_dp_kernel_banded(T: int, K: int, WP: int, oi: int, ei: int,
         def _init():
             for ref in (he_ref, ho_ref, e_ref, f_ref, g_ref,
                         e2_ref, f2_ref):
-                ref[:] = jnp.full((B, WP), NEG, jnp.int32)
-            qrr_ref[:] = jnp.full((B, WP), 4, jnp.int32)
+                ref[:] = jnp.full((B, W), NEG, jnp.int32)
+            qrr_ref[:] = jnp.full((B, W), 4, jnp.int32)
 
         for kk in range(K):
             rr = rk * K + kk   # traced through rk
@@ -284,7 +293,7 @@ def _make_dp_kernel_banded(T: int, K: int, WP: int, oi: int, ei: int,
             @pl.when(rr < maxr)
             def _row(kk=kk, rr=rr):
                 _dp_one_row_banded(
-                    jax, jnp, pl, pltpu, rr, kk, T, K, WP,
+                    jax, jnp, pl, pltpu, rr, kk, T, K, W,
                     (oi, ei, od, oi2, ei2, od2),
                     qbuf_ref, sub_ref, wl_ref, wdel_ref, wl2_ref,
                     wdel2_ref, dirs_ref,
@@ -296,33 +305,50 @@ def _make_dp_kernel_banded(T: int, K: int, WP: int, oi: int, ei: int,
     return kernel
 
 
-def _dp_one_row_banded(jax, jnp, pl, pltpu, r, kk, T, K, WP, costs,
+def _win(jnp, pl, pltpu, ref, base, W, T, plane=None):
+    """Window load: ref[..., base : base+W] via a 128-aligned dynamic
+    slice rotated into place (dynamic-shift roll), for arbitrary base.
+    The slice start is clamped to T - W - 128 so the (W+128)-wide read
+    never runs past the ref's T lanes (base <= T - W by _band_base, so
+    the clamp keeps the window inside the slice: m = base - A <= 128)."""
+    A = pl.multiple_of(
+        jnp.minimum(base // 128 * 128, T - W - 128), 128)
+    m = base - A
+    if plane is None:
+        wide = ref[:, pl.ds(A, W + 128)]
+    else:
+        wide = ref[:, plane, pl.ds(A, W + 128)]
+    rot = pltpu.roll(wide, jnp.where(m == 0, 0, W + 128 - m), 1)
+    return rot[:, :W]
+
+
+def _dp_one_row_banded(jax, jnp, pl, pltpu, r, kk, T, K, W, costs,
                        qbuf_ref, sub_ref, wl_ref, wdel_ref, wl2_ref,
                        wdel2_ref, dirs_ref,
                        he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
                        e2_ref, f2_ref,
                        Lq, Tn, B):
     oi, ei, od, oi2, ei2, od2 = costs
-    base = _band_base(jnp, r, T, WP)
-    prev_base = _band_base(jnp, r - 1, T, WP)
-    shift = base - prev_base          # exactly 0 or 128 (aligned steps)
+    base = _band_base(jnp, r, T, W)
+    prev_base = _band_base(jnp, r - 1, T, W)
+    shift = base - prev_base          # exactly 0 or 1
 
-    # window advance: slide every scratch ref left by 128 lanes, filling
-    # the newly exposed right lanes with their init values
-    li = jax.lax.broadcasted_iota(jnp.int32, (B, WP), 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
 
     @pl.when(shift != 0)
     def _advance():
+        # slide every scratch ref left by one lane (right-roll by W-1),
+        # filling the newly exposed right lane with its init value.  qrr
+        # is NOT rolled: its previous row already holds q[r - ti] for
+        # the shifted lanes (see qb below).
         for ref, fill in ((he_ref, NEG), (ho_ref, NEG), (e_ref, NEG),
                           (f_ref, NEG), (g_ref, NEG), (e2_ref, NEG),
-                          (f2_ref, NEG), (qrr_ref, 4)):
-            # left-shift by 128 == right-roll by WP-128 (pltpu.roll
-            # requires a non-negative shift)
+                          (f2_ref, NEG)):
             ref[:] = jnp.where(
-                li >= WP - 128, fill, pltpu.roll(ref[:], WP - 128, 1))
+                li == W - 1, fill, pltpu.roll(ref[:], W - 1, 1))
 
     ti = li + base                    # global lane = column-1
-    wb = WP - 384
+    wb = W - 8
     off = 2 * ti - r                  # c - j of the current cell
     bandok = jnp.abs(off) <= wb
     # predecessor band masks: out-of-band neighbors read as NEG so the
@@ -332,31 +358,34 @@ def _dp_one_row_banded(jax, jnp, pl, pltpu, r, kk, T, K, WP, costs,
     m_dl = jnp.abs(off - 1) <= wb     # (j, c-1)  : g_sh/f_sh/f2_sh
 
     # q base for the new diagonal cell (global query index = r - ti).
-    # The rolling register must be seeded at the WINDOW's left edge every
-    # row — seeding only at global lane 0 (as in the full kernel) starves
-    # the register once the window slides past it and fill garbage
-    # propagates right through the whole band.
-    qi = r - base                     # query index entering at slice 0
+    # On shift rows the previous row's register already holds
+    # q[(r-1) - (li + base-1)] = q[r - ti] at every lane — no roll; on
+    # non-shift rows it rolls right one lane with the window's left-edge
+    # value q[r - base] inserted at lane 0.
+    qi = r - base                     # query index entering at lane 0
     qi_al = pl.multiple_of(qi // 128 * 128, 128)
     qwin = qbuf_ref[:, pl.ds(qi_al, 128)]
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
     q_left = jnp.sum(
         jnp.where(lane128 == (qi - qi_al), qwin, 0), axis=1, keepdims=True)
-    qb = jnp.where(li == 0, q_left, pltpu.roll(qrr_ref[:], 1, 1))
+    qb = jnp.where(
+        shift != 0,
+        qrr_ref[:],
+        jnp.where(li == 0, q_left, pltpu.roll(qrr_ref[:], 1, 1)))
     qrr_ref[:] = qb
 
     mask = ((ti <= r) & (ti >= r - Lq + 1) & (ti < Tn)
             & (r < Lq + Tn - 1) & bandok)
 
-    ds = pl.ds(pl.multiple_of(base, 128), WP)
-    subw = sub_ref[:, :, ds]
-    s = subw[:, 0, :]
+    subw = [_win(jnp, pl, pltpu, sub_ref, base, W, T, plane=bb)
+            for bb in range(5)]
+    s = subw[0]
     for bb in range(1, 5):
-        s = jnp.where(qb == bb, subw[:, bb, :], s)
-    Wl = wl_ref[:, ds]
-    Wl2 = wl2_ref[:, ds]
-    wd = wdel_ref[:, ds]
-    wd2 = wdel2_ref[:, ds]
+        s = jnp.where(qb == bb, subw[bb], s)
+    Wl = _win(jnp, pl, pltpu, wl_ref, base, W, T)
+    Wl2 = _win(jnp, pl, pltpu, wl2_ref, base, W, T)
+    wd = _win(jnp, pl, pltpu, wdel_ref, base, W, T)
+    wd2 = _win(jnp, pl, pltpu, wdel2_ref, base, W, T)
     Wl_sh = jnp.where(ti == 0, 0, pltpu.roll(Wl, 1, 1))
     Wl2_sh = jnp.where(ti == 0, 0, pltpu.roll(Wl2, 1, 1))
 
@@ -368,10 +397,11 @@ def _dp_one_row_banded(jax, jnp, pl, pltpu, r, kk, T, K, WP, costs,
     else:
         hp2_ref, hp_ref = ho_ref, he_ref
 
-    # NOTE on rolls near the window edge: lane 0 of the slice wraps to
-    # lane WP-1's stale value, but lane base is always strictly outside
-    # the live band when base > 0 (the window leaves 128 lanes of slack
-    # on each side), so the wrapped value is masked dead.
+    # NOTE on rolls at the window edge: lane 0 wraps to lane W-1's stale
+    # value, but when base > 0 lane `base` is strictly outside the live
+    # band (the band's left edge lane is base+3..base+4 by the floor in
+    # _band_base), so the wrapped value is masked dead; when base == 0
+    # the ti==0 guards override lane 0 anyway.
     hm = pltpu.roll(hp2_ref[:], 1, 1)
     hm = jnp.where(ti == 0, ins0(r), hm)
     hm = jnp.where(
@@ -670,31 +700,28 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
 # --------------------------------------------------------------- driver --
 
 
-def _tile_bt(T: int) -> int:
-    """Rows per grid block, from the DP kernel's real VMEM bill:
-    qbuf ~2T+256, sub 5T, wl/wdel/wl2/wdel2 4T, 8 scratch 8T (all int32,
-    x4B) plus the K*BT*T uint8 dirs block => ~BT*(80T+1024) bytes; budget
-    12 MB of the 16 MB VMEM."""
-    return max(8, 12_000_000 // (80 * T + 1024) // 8 * 8)
+def _tile_bt(T: int, W=None) -> int:
+    """Rows per grid block, from the DP kernel's real VMEM bill (int32,
+    x4B): qbuf ~2T+256, sub 5T, wl/wdel/wl2/wdel2 4T, 8 scratch 8 lanes
+    of the working width, plus the double-buffered K-row uint8 dirs
+    block; budget 12 MB of the 16 MB VMEM.  W=None = full kernel
+    (working width T)."""
+    lanes = T if W is None else W
+    bill = 44 * T + 40 * lanes + 512
+    return max(8, 12_000_000 // bill // 8 * 8)
 
 
-def _band_wp(T: int) -> int:
-    """Window width for the banded DP at bucket T: half-band Wb = T//4
-    (generous — legitimate tandem units drift far less than 25% of the
-    period) plus 384 lanes of margin/alignment slack.  Band-escaping
-    regions are detected by the touch step and retried full-width."""
-    return (T // 4 // 128) * 128 + 384
-
-
-def _dirs_b(T: int) -> int:
-    """Fixed region-batch per profile bucket: dirs HBM footprint is
-    n_rows * B * T bytes (~0.5 GB budget). DP compute scales with B, so
-    oversizing the batch pads dead rows through every unit round — B is
-    kept near one VMEM tile and large region sets just run more batches
-    (each round is a single fused dispatch). Always a multiple of
-    _tile_bt(T) so the grid divides evenly."""
-    bt = _tile_bt(T)
-    raw = max(8, min(1024, 500_000_000 // (2 * T * T) // 8 * 8))
+def _dirs_b(T: int, W=None) -> int:
+    """Fixed region-batch per (bucket, window) variant: dirs HBM
+    footprint is n_rows * B * lane-width bytes (~0.5 GB budget). DP
+    compute scales with B, so oversizing the batch pads dead rows
+    through every unit round — B is kept near one VMEM tile and large
+    region sets just run more batches (each round is a single fused
+    dispatch). Always a multiple of _tile_bt so the grid divides
+    evenly."""
+    lanes = T if W is None else W
+    bt = _tile_bt(T, W)
+    raw = max(8, min(1024, 500_000_000 // (2 * T * lanes) // 8 * 8))
     if _B_CAP is not None:
         raw = min(raw, max(8, _B_CAP))
         return raw if raw < bt else raw // bt * bt
@@ -750,21 +777,21 @@ class DeviceMSA:
                 return b
         return None
 
-    def _dp_run(self, T: int, banded: bool = False):
-        key = (T, banded)
+    def _dp_run(self, T: int, W: int | None = None):
+        key = (T, W)
         if key in self._dp_runs:
             return self._dp_runs[key]
         jax, jnp, pl, pltpu = _modules()
         K = 4
-        B = _dirs_b(T)
-        BT = min(B, _tile_bt(T))  # B is a BT multiple by construction
+        B = _dirs_b(T, W)
+        BT = min(B, _tile_bt(T, W))  # B is a BT multiple by construction
         n_rows = 2 * T - 1
         NR = (n_rows + K - 1) // K
         LQplus = ((n_rows + 127) // 128) * 128 + 128
-        if banded:
-            WP = _band_wp(T)
+        if W is not None:
+            WP = W
             kern = _make_dp_kernel_banded(
-                T, K, WP, self.oi, self.ei, self.od,
+                T, K, W, self.oi, self.ei, self.od,
                 self.oi2, self.ei2, self.od2)
         else:
             WP = T
@@ -803,18 +830,17 @@ class DeviceMSA:
         self._dp_runs[key] = (run, B, LQplus)
         return self._dp_runs[key]
 
-    def _bt_run(self, T: int, banded: bool = False):
-        key = (T, banded)
+    def _bt_run(self, T: int, W: int | None = None):
+        key = (T, W)
         if key in self._bt_runs:
             return self._bt_runs[key]
         jax, jnp, pl, pltpu = _modules()
-        B = _dirs_b(T)
-        BT = min(B, _tile_bt(T))
+        B = _dirs_b(T, W)
+        BT = min(B, _tile_bt(T, W))
         NL = ((2 * T + 1 + 127) // 128) * 128
         NT = 2 * T          # levels L = 2T .. 1 (L=1: boundary-only steps)
-        WP = _band_wp(T) if banded else None
-        W = WP if banded else T
-        kern = _make_bt_kernel(T, NL, WP)
+        kern = _make_bt_kernel(T, NL, W)
+        W = T if W is None else W
 
         @jax.jit
         def run(dirs, qlen, ncol):
@@ -842,25 +868,30 @@ class DeviceMSA:
         self._bt_runs[key] = (run, B, NL)
         return self._bt_runs[key]
 
-    def _round(self, T: int, banded: bool = False):
+    def _round(self, T: int, W: int | None = None):
         """Fused unit round (scores + DP + backtrack + update) as ONE jit:
         nested jits inline, so each round is a single dispatch instead of
         four. k arrives as a traced scalar — no per-k recompile.
 
-        banded=True swaps in the |c-j| <= Wb windowed DP/backtrack and
-        adds a fifth output: per-region band-touch flags (paths reaching
-        the band edge), which the driver retries through the full
-        kernels so banding never changes results."""
-        key = (T, banded)
+        W set swaps in the W-lane windowed DP/backtrack and threads an
+        `ev` first-event state through the rounds: per region, 0 = clean,
+        1 = the path of some unit touched the band edge, 2 = the profile
+        overflowed the bucket — recording whichever happened FIRST (and
+        touch before overflow within one round), which is exactly the
+        order the sequential host oracle (banded_profile_consensus)
+        encounters them, so the driver's retry walk matches the host's
+        bit-for-bit."""
+        key = (T, W)
         if key in self._round_fns:
             return self._round_fns[key]
         jax, jnp, _, _ = _modules()
-        run_dp, B, LQplus = self._dp_run(T, banded)
-        run_bt, B2, NL = self._bt_run(T, banded)
+        banded = W is not None
+        run_dp, B, LQplus = self._dp_run(T, W)
+        run_bt, B2, NL = self._bt_run(T, W)
         assert B == B2
-        wb = _band_wp(T) - 384 if banded else 0
+        wb = W - 8 if banded else 0
 
-        def round_fn(counts, n_placed, ncol, overflow,
+        def round_fn(counts, n_placed, ncol, overflow, ev,
                      unit_k, qlen_k, active):
             sub, wdel, wl, wdel2, wl2, qbuf = self.scores_step(
                 counts, n_placed, ncol, unit_k, lqplus=LQplus)
@@ -869,14 +900,18 @@ class DeviceMSA:
                           qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
             ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
                              ncol.reshape(-1, 1))
-            out = self.update_step(
+            counts2, n_placed2, ncol2, overflow2 = self.update_step(
                 counts, n_placed, ncol, overflow, unit_k, qlen_k, active,
                 ops_lvl)
             if banded:
-                return out + (self.touch_step(ops_lvl, active, wb),)
-            return out
+                tch = self.touch_step(ops_lvl, active, wb)
+                ovf_new = overflow2 & ~overflow
+                ev = jnp.where(
+                    ev != 0, ev,
+                    jnp.where(tch, 1, jnp.where(ovf_new, 2, 0)))
+            return counts2, n_placed2, ncol2, overflow2, ev
 
-        def polish_round_fn(votes, counts, n_placed, ncol,
+        def polish_round_fn(votes, counts, n_placed, ncol, ev,
                             unit_k, qlen_k, active):
             sub, wdel, wl, wdel2, wl2, qbuf = self.scores_step(
                 counts, n_placed, ncol, unit_k, lqplus=LQplus)
@@ -888,11 +923,10 @@ class DeviceMSA:
             votes2 = self.polish_update(votes, ncol, active, unit_k,
                                         ops_lvl)
             if banded:
-                return votes2, self.touch_step(ops_lvl, active, wb)
-            return votes2
+                tch = self.touch_step(ops_lvl, active, wb)
+                ev = jnp.where(ev != 0, ev, jnp.where(tch, 1, 0))
+            return votes2, ev
 
-        n_out = 5 if banded else 4
-        n_out_p = 2 if banded else 1
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -910,8 +944,8 @@ class DeviceMSA:
                     out_shardings=(s,) * n_out if n_out > 1 else s,
                 )
 
-            round_fn = _smap(round_fn, 7, n_out)
-            polish_round_fn = _smap(polish_round_fn, 7, n_out_p)
+            round_fn = _smap(round_fn, 8, 5)
+            polish_round_fn = _smap(polish_round_fn, 8, 2)
         else:
             round_fn = jax.jit(round_fn)
             polish_round_fn = jax.jit(polish_round_fn)
@@ -928,9 +962,8 @@ class DeviceMSA:
         import jax.numpy as jnp
 
         out: List = [None] * len(regions)
-        # (region index, min bucket, force_full): force_full set when a
-        # banded pass saw the region's path touch the band edge
-        todo: List[Tuple[int, int, bool]] = []
+        # (region index, min bucket, band-ladder rung)
+        todo: List[Tuple[int, int, int]] = []
         spread = [0] * len(regions)
         for ri, units in enumerate(regions):
             cap = max(len(u) for u in units)
@@ -940,43 +973,39 @@ class DeviceMSA:
             # profile outgrows its bucket overflows and retries one bucket
             # up (below), so the margin can stay tight — T^2 DP cost and
             # the finer bucket ladder reward it
-            todo.append((ri, int(cap * 1.2) + 8, False))
+            todo.append((ri, int(cap * 1.2) + 8, 0))
 
         while todo:
-            by_bucket: Dict[Tuple[int, bool], List[int]] = {}
-            for ri, need, full in todo:
+            by_bucket: Dict[Tuple[int, int | None], List[int]] = {}
+            for ri, need, rung in todo:
                 b = self._bucket(need)
                 if b is not None:
-                    # unit-length-spread precheck: lengths differing by
-                    # more than half the band guarantee a band touch —
-                    # go straight to the full kernels
-                    banded = (
-                        b >= BAND_MIN_T and not full
-                        and spread[ri] <= (_band_wp(b) - 384) // 2
-                    )
-                    by_bucket.setdefault((b, banded), []).append(ri)
+                    rungs = band_ladder(b, spread[ri])
+                    W = rungs[min(rung, len(rungs) - 1)]
+                    by_bucket.setdefault((b, W), []).append((ri, rung))
             todo = []
-            for (T, banded), idxs in by_bucket.items():
+            for (T, W), entries in by_bucket.items():
                 round_fn, polish_round_fn, B, LQplus, NL = self._round(
-                    T, banded)
-                for lo in range(0, len(idxs), B):
-                    part = idxs[lo:lo + B]
+                    T, W)
+                for lo in range(0, len(entries), B):
+                    part = entries[lo:lo + B]
                     res = self._one_batch(
-                        [regions[i] for i in part], T, B,
-                        round_fn, polish_round_fn, jnp, banded)
-                    for i, r in zip(part, res):
+                        [regions[i] for i, _ in part], T, B,
+                        round_fn, polish_round_fn, jnp, W)
+                    for (i, rung), r in zip(part, res):
                         if r is None:
-                            # overflow: bucket up (keep band eligibility)
-                            todo.append((i, T + 1, False))
+                            # overflow: bucket up, ladder restarts
+                            todo.append((i, T + 1, 0))
                         elif isinstance(r, str):
-                            # band touch: same bucket, full kernels
-                            todo.append((i, T, True))
+                            # band touch: same bucket, next rung
+                            todo.append((i, T, rung + 1))
                         else:
                             out[i] = r
         return out
 
     def _one_batch(self, regs, T, B, round_fn, polish_round_fn, jnp,
-                   banded=False):
+                   W=None):
+        banded = W is not None
         R = len(regs)
         # U only shapes the cheap gather/init jits (compiled per distinct
         # U, pure XLA); the Mosaic-bearing fused round is U-free
@@ -998,18 +1027,14 @@ class DeviceMSA:
         overflow = jnp.zeros(B, bool)
 
         nunits_dev = jnp.asarray(nunits)
-        touched = jnp.zeros(B, bool)
+        ev = jnp.zeros(B, jnp.int32)
         max_units = int(nunits.max())
         for k in range(1, max_units):
             unit_k, qlen_k, active = self.gather_step(
                 units_dev, ulen_dev, nunits_dev, k)
-            res = round_fn(
-                counts, n_placed, ncol, overflow, unit_k, qlen_k, active)
-            if banded:
-                counts, n_placed, ncol, overflow, tch = res
-                touched = touched | tch
-            else:
-                counts, n_placed, ncol, overflow = res
+            counts, n_placed, ncol, overflow, ev = round_fn(
+                counts, n_placed, ncol, overflow, ev,
+                unit_k, qlen_k, active)
 
         nunits_dev32 = nunits_dev.astype(jnp.int32)
         for _ in range(self.polish):
@@ -1020,24 +1045,23 @@ class DeviceMSA:
             for k in range(max_units):
                 unit_k, qlen_k, active = self.gather_step(
                     units_dev, ulen_dev, nunits_dev, k)
-                res = polish_round_fn(
-                    votes, counts, n_placed, ncol, unit_k, qlen_k, active)
-                if banded:
-                    votes, tch = res
-                    touched = touched | tch
-                else:
-                    votes = res
+                votes, ev = polish_round_fn(
+                    votes, counts, n_placed, ncol, ev,
+                    unit_k, qlen_k, active)
             counts = votes
             n_placed = nunits_dev32
 
         packed, bc = self.consensus_step(counts, n_placed, ncol, overflow)
         packed = np.asarray(packed)
         bc = np.asarray(bc)
-        tnp = np.asarray(touched) if banded else None
+        evnp = np.asarray(ev) if banded else None
         out = []
         for i in range(R):
-            if banded and tnp[i]:
-                out.append("touch")     # band edge: full-kernel retry
+            if banded and evnp[i] == 1:
+                out.append("touch")     # band edge: next-rung retry
+                continue
+            if banded and evnp[i] == 2:
+                out.append(None)        # overflow -> bucket-up retry
                 continue
             row = packed[i]
             if row[0] & 16:

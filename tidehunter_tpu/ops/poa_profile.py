@@ -34,6 +34,22 @@ import numpy as np
 SCALE = 16
 NEG = -(1 << 30)
 
+# Band window ladder shared by the device kernels (ops/msa_device.py) and
+# the host mirror below: a region runs at the narrowest eligible window,
+# escalating one rung on band-touch, with the full-width kernel as the
+# last rung.  DP cost is rows * W, so W=128 beats the full kernel ~T/128x.
+BAND_LADDER = (128, 256, 512)
+
+
+def band_ladder(T: int, spread: int) -> list:
+    """Attempt sequence of window widths for a region whose unit lengths
+    span `spread` in bucket T: eligible band rungs ascending, then None
+    (= full kernel).  A rung W gives half-band wb = W - 8; unit lengths
+    differing by more than wb/2 guarantee a band touch, so those rungs
+    are skipped up front."""
+    return [w for w in BAND_LADDER
+            if w < T and spread <= (w - 8) // 2] + [None]
+
 
 class Profile:
     def __init__(self, unit: np.ndarray):
@@ -367,29 +383,25 @@ def banded_profile_consensus(
     gap_ext2: int | None = None,
     buckets=(128, 256, 384, 512, 640, 768, 896, 1024,
              2048, 4096),
-    band_min_t: int = 1024,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host mirror of ops/msa_device.DeviceMSA.consensus_batch for ONE
     region: same bucket ladder (cap*1.2 margin), same T truncation of
-    units and columns, same |c-j| <= T//4 band for buckets >= band_min_t,
-    same band-touch -> full-kernel retry and column-overflow -> bucket-up
-    retry.  Bit-identical with the device path, which is the production
-    engine's MSA; this is therefore the oracle the engine is tested
-    against."""
+    units and columns, same band-window ladder (band_ladder: W rungs then
+    full), same band-touch -> next-rung retry and column-overflow ->
+    bucket-up retry.  Bit-identical with the device path, which is the
+    production engine's MSA; this is therefore the oracle the engine is
+    tested against."""
     cap = max(len(u) for u in units)
     lo = min(len(u) for u in units)
     need = int(cap * 1.2) + 8
     buckets = tuple(sorted(buckets))
     T = next((b for b in buckets if b >= need), None)
     spread = cap - lo
-    force_full = False
+    rung = 0
     while T is not None:
-        # device driver's unit-length-spread precheck (see
-        # msa_device.consensus_batch): lengths differing by more than
-        # half the band guarantee a touch -> full kernels directly
-        wide = spread > ((T // 4 // 128) * 128) // 2
-        band = (T // 4 // 128) * 128 if (
-            T >= band_min_t and not force_full and not wide) else None
+        rungs = band_ladder(T, spread)
+        W = rungs[min(rung, len(rungs) - 1)]
+        band = None if W is None else W - 8
         prof = Profile(np.asarray(units[0][:T], np.int64))
         overflow = False
         touch = False
@@ -435,11 +447,11 @@ def banded_profile_consensus(
                 prof.counts = counts
                 prof.n_placed = len(units)
         if touch:
-            force_full = True
+            rung += 1          # escalate to the next band rung (or full)
             continue
         if overflow:
             T = next((b for b in buckets if b > T), None)
-            force_full = False
+            rung = 0
             continue
         return prof.consensus()
     # beyond the largest bucket: the device returns no result and the
