@@ -64,9 +64,14 @@ static inline int get_con_score(
  * self-hit is emitted per k-mer occurrence) every end-group is a
  * singleton, so the group scan is a backward scan over flat indices.
  * A 16-lane block computes connection class + score for 16 predecessors
- * at once; the sequential state machine (running max, iter_n cutoff,
- * SAME/OVL stops) then only visits the connectable lanes via bit
- * scanning — NO_CON runs collapse into arithmetic on iter_n.  The
+ * at once; a lane-parallel descending prefix-max then identifies the
+ * block's RECORD lanes (strict running-max improvements — the only
+ * lanes that can update the DP cell or reset iter_n) and its stop
+ * lanes, so the sequential state machine only visits those rare
+ * events: both NO_CON and non-improving connectable runs collapse
+ * into gap arithmetic on iter_n (records are prefix maxima of the
+ * score sequence, so they are computable lane-parallel regardless of
+ * where the sequential walk stops).  The
  * float-free ratio test 5*cur_p >= 9*pre_p is exactly equivalent to the
  * reference's (double)cur_p >= pre_p*1.8 for all periods < 2^26 (1.8 in
  * binary64 is 9/5 + 4.44e-17; the rounded product never crosses an
@@ -75,6 +80,8 @@ static inline int get_con_score(
 #if defined(__x86_64__) && defined(__GNUC__)
 #include <immintrin.h>
 
+#define VNEG (-(1 << 30))
+
 __attribute__((target("avx512f,avx512cd,avx512bw,avx512dq,avx512vl")))
 static void run_dp_avx(
     const int32_t *ends, const int32_t *starts, int32_t *score,
@@ -82,9 +89,9 @@ static void run_dp_avx(
 {
     const __m512i v9 = _mm512_set1_epi32(9);
     const __m512i v5 = _mm512_set1_epi32(5);
-    const __m512i v31 = _mm512_set1_epi32(31);
     const __m512i v2k = _mm512_set1_epi32(2 * k);
     const __m512i vk = _mm512_set1_epi32(k);
+    const __m512i vneg = _mm512_set1_epi32(VNEG);
     for (int64_t cur = 1; cur < n; ++cur) {
         int32_t cs = starts[cur], ce = ends[cur];
         int32_t cp = ce - cs;
@@ -103,21 +110,25 @@ static void run_dp_avx(
             __mmask16 ml = (__mmask16)(nl == 16 ? 0xFFFFu : ((1u << nl) - 1u));
             __m512i ew = _mm512_maskz_loadu_epi32(ml, ends + lo);
             __m512i sw = _mm512_maskz_loadu_epi32(ml, starts + lo);
-            __m512i scv = _mm512_maskz_loadu_epi32(ml, score + lo);
-            __m512i pp = _mm512_sub_epi32(ew, sw);
-            /* scan break: end[pre] < cur_start (ends ascending -> the
-             * invalid lanes are a low-lane prefix) */
             __mmask16 valid = _mm512_mask_cmpge_epi32_mask(ml, ew, v_cs);
             if (valid != ml) done = 1;
             if (!valid) break;
             int floor_lane = __builtin_ctz((unsigned)valid);
+            __m512i pp = _mm512_sub_epi32(ew, sw);
             __mmask16 c1 = _mm512_cmple_epi32_mask(v_cs, sw);
             __m512i pp9 = _mm512_mullo_epi32(pp, v9);
             __m512i pp5 = _mm512_mullo_epi32(pp, v5);
             __mmask16 c2 = _mm512_cmpge_epi32_mask(v_5cp, pp9);
             __mmask16 c3 = _mm512_cmpge_epi32_mask(pp5, v_9cp);
-            __mmask16 interesting =
-                valid & (__mmask16)~(c1 | c2 | c3);
+            __mmask16 im = valid & (__mmask16)~(c1 | c2 | c3);
+            if (!im) {
+                /* all-NO_CON block: pure gap arithmetic */
+                int nv = __builtin_popcount(valid);
+                if (iter_n + nv >= max_h) { done = 1; break; }
+                iter_n += nv;
+                continue;
+            }
+            __m512i scv = _mm512_maskz_loadu_epi32(valid, score + lo);
             __m512i dis1 = _mm512_sub_epi32(v_ce, ew);
             __m512i dis2 = _mm512_sub_epi32(v_cs, sw);
             __m512i matched = _mm512_add_epi32(
@@ -125,40 +136,42 @@ static void run_dp_avx(
             __m512i dlt = _mm512_abs_epi32(_mm512_sub_epi32(v_cp, pp));
             __m512i d2 = _mm512_srli_epi32(_mm512_mullo_epi32(dlt, dlt), 1);
             __m512i ds = _mm512_add_epi32(dis1, dis2);
-            __m512i lg = _mm512_sub_epi32(v31, _mm512_lzcnt_epi32(ds));
+            __m512i lg = _mm512_sub_epi32(_mm512_set1_epi32(31), _mm512_lzcnt_epi32(ds));
             __m512i gap = _mm512_add_epi32(d2, _mm512_srli_epi32(lg, 1));
-            __m512i sc = _mm512_add_epi32(
-                scv, _mm512_sub_epi32(matched, gap));
-            __mmask16 same_ovl =
-                _mm512_cmpeq_epi32_mask(dlt, _mm512_setzero_si512());
-            __mmask16 ovl = same_ovl &
-                _mm512_cmplt_epi32_mask(matched, v2k);
+            __m512i sc = _mm512_add_epi32(scv, _mm512_sub_epi32(matched, gap));
+            __mmask16 same_ovl = _mm512_cmpeq_epi32_mask(dlt, _mm512_setzero_si512());
+            __mmask16 ovl = same_ovl & _mm512_cmplt_epi32_mask(matched, v2k);
+            /* records: descending-order (lane 15 -> 0) strict prefix maxima
+             * of interesting sc, seeded with the running max */
+            __m512i scm = _mm512_mask_mov_epi32(vneg, im, sc);
+            __m512i t = _mm512_alignr_epi32(vneg, scm, 1);
+            t = _mm512_max_epi32(t, _mm512_alignr_epi32(vneg, t, 1));
+            t = _mm512_max_epi32(t, _mm512_alignr_epi32(vneg, t, 2));
+            t = _mm512_max_epi32(t, _mm512_alignr_epi32(vneg, t, 4));
+            t = _mm512_max_epi32(t, _mm512_alignr_epi32(vneg, t, 8));
+            t = _mm512_max_epi32(t, _mm512_set1_epi32(max_score));
+            __mmask16 rec = im & _mm512_cmpgt_epi32_mask(scm, t);
+            __mmask16 sm = (__mmask16)((ovl & ~rec) | (same_ovl & rec));
+            unsigned ev = (unsigned)(rec | sm);
             int32_t sc_a[16];
             _mm512_storeu_si512((__m512i *)sc_a, sc);
-            unsigned im = interesting;
-            int prev = nl;      /* one above the next lane to account */
-            while (im) {
-                int lane = 31 - __builtin_clz(im);
-                int gaplen = prev - 1 - lane;   /* NO_CON lanes above */
+            int prev = nl;
+            while (ev) {
+                int lane = 31 - __builtin_clz(ev);
+                int gaplen = prev - 1 - lane;
                 if (iter_n + gaplen >= max_h) { done = 1; break; }
                 iter_n += gaplen;
-                int32_t s = sc_a[lane];
-                int is_o = (ovl >> lane) & 1;
-                int is_so = (same_ovl >> lane) & 1;
-                if (s > max_score) {
-                    max_score = s; max_pre = lo + lane;
-                    if (is_so) { done = 1; break; }  /* SAME or OVL stop */
-                    iter_n = 0;                       /* gt: REG improving */
-                } else if (is_o) {
-                    done = 1; break;                  /* OVL stop */
-                } else if (++iter_n >= max_h) {
+                if ((rec >> lane) & 1) {
+                    max_score = sc_a[lane]; max_pre = lo + lane;
+                    if ((sm >> lane) & 1) { done = 1; break; }
+                    iter_n = 0;
+                } else {            /* ovl non-record stop */
                     done = 1; break;
                 }
                 prev = lane;
-                im &= (1u << lane) - 1u;
+                ev &= (1u << lane) - 1u;
             }
             if (!done) {
-                /* trailing NO_CON lanes down to the scan floor */
                 int gaplen = prev - floor_lane;
                 if (iter_n + gaplen >= max_h) done = 1;
                 else iter_n += gaplen;
