@@ -8,6 +8,7 @@ plus TPU-specific flags that have no reference equivalent (--device,
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List, Optional
 
@@ -89,6 +90,9 @@ def usage() -> int:
     e("                            final profile; improves low-coverage accuracy) [0]\n")
     e("    --shard I/N             process reads I, I+N, I+2N, ... (multi-host data\n")
     e("                            parallelism; auto from jax.distributed) [0/1]\n")
+    e("    --dist HOST:PORT/N/I    bootstrap jax.distributed: coordinator address,\n")
+    e("                            process count, this process id (also via the\n")
+    e("                            TH_DIST env var); implies auto --shard I/N [off]\n")
     e("  General options:\n")
     e("    -h --help               print this help usage information\n")
     e("    -v --version            show version number\n")
@@ -109,12 +113,30 @@ _LONG = {
 _NO_ARG = set("Hhvulsq") | {"F"}
 
 
+def _parse_dist(val: str):
+    """HOST:PORT/N/I -> (coordinator, num_procs, proc_id), None on error."""
+    try:
+        coord, n_s, i_s = val.rsplit("/", 2)
+        n, i = int(n_s), int(i_s)
+    except ValueError:
+        sys.stderr.write(
+            f"\n[main] Error: --dist needs HOST:PORT/N/I "
+            f"(e.g. 10.0.0.1:8476/4/0), got '{val}'.\n")
+        return None
+    if not coord or not (0 <= i < n):
+        sys.stderr.write("\n[main] Error: --dist needs 0 <= I < N and a "
+                         "coordinator address.\n")
+        return None
+    return coord, n, i
+
+
 def parse_args(argv: List[str]):
     """getopt-style parse. Returns (params, input_path, extra) or an int exit
     code. Mirrors main.c:443-529 including validation messages."""
     mtp = Params()
     extra = {"device": "tpu", "resume": None, "output": None,
-             "metrics": None, "shard": None, "profile": None}
+             "metrics": None, "shard": None, "profile": None,
+             "dist": None}
     pos: List[str] = []
     i = 0
     n = len(argv)
@@ -174,6 +196,13 @@ def parse_args(argv: List[str]):
                 return 1
             if not (0 <= extra["shard"][0] < extra["shard"][1]):
                 sys.stderr.write("\n[main] Error: --shard needs 0 <= I < N.\n")
+                return 1
+        elif tok == "--dist":
+            val = need_arg(tok)
+            if val is None:
+                return 1
+            extra["dist"] = _parse_dist(val)
+            if extra["dist"] is None:
                 return 1
         elif tok.startswith("--"):
             key = tok.split("=", 1)[0]
@@ -335,8 +364,24 @@ def main(argv: Optional[List[str]] = None) -> int:
         return parsed
     mtp, read_fn, extra = parsed
 
+    dist = extra["dist"]
+    if dist is None and os.environ.get("TH_DIST"):
+        dist = _parse_dist(os.environ["TH_DIST"])
+        if dist is None:
+            return 1
+    if dist is not None and dist[1] > 1:
+        # multi-host bootstrap (role of the reference's pthread fan-out,
+        # src/main.c:396-426, across hosts): one jax.distributed world,
+        # each process streaming its own input shard
+        from .parallel.mesh import init_distributed
+
+        init_distributed(*dist)
+        log(f"jax.distributed: process {dist[2]}/{dist[1]} "
+            f"(coordinator {dist[0]})")
+
     shard = extra["shard"]
-    if shard is None and extra["device"] in ("tpu", "cpu"):
+    if shard is None and (dist is not None
+                          or extra["device"] in ("tpu", "cpu")):
         # auto-shard under jax.distributed (multi-host pod slice); derive
         # per-process output/resume paths so hosts on shared storage don't
         # clobber one file with partial shards (each host writes its 1/N)

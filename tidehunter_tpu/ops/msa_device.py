@@ -1,6 +1,6 @@
 """Device-resident profile-POA consensus (MSA v2).
 
-The v1 device path (ops/poa_pallas.py) ping-ponged per unit round: host
+The v1 device path (removed; see git history) ping-ponged per unit round: host
 computed substitution scores, the device aligned, an XLA while_loop walked
 the direction tensor, the ops arrays were pulled to the host and the
 profile updated in NumPy.  On this platform every pull costs ~25 ms and

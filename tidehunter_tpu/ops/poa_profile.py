@@ -15,7 +15,7 @@ per-column scores encode what the POA graph encodes structurally:
     (this is what fixes the star-MSA's insertion-vote splitting)
 
 All quantities are fixed-point ints (SCALE) so the device kernel
-(ops/poa_pallas.py) matches this reference bit-for-bit. The per-row
+(ops/msa_device.py) matches this reference bit-for-bit. The per-row
 recurrence is scan-friendly: M and I are elementwise; the weighted deletion
 track is F[c] = cummax(G[c'] + W[c'])_{c'<c} - O - W[c] with W = prefix sums
 of the column weights — one cummax per row on device.
