@@ -74,113 +74,11 @@ def direct_hash(
     return key[idx], positions[idx]
 
 
-def minimizer_hash(
-    bseq: np.ndarray, k: int, w: int, use_hpc: bool = False
-) -> tuple[np.ndarray, np.ndarray]:
-    """Minimizer seeding with tie emission (reference minimizer_hash,
-    src/tandem_hit.c:97-157). Faithful port of the queue algorithm; w is the
-    window size in k-mer positions. HPC spans >= 256 bases drop the k-mer
-    (tandem_hit.c:120)."""
-    bseq = np.asarray(bseq, dtype=np.int64)
-    seq_len = len(bseq)
-    UINT32_MAX = 0xFFFFFFFF
-    mask = (1 << (2 * k)) - 1
-    out_keys: list[int] = []
-    out_pos: list[int] = []
-
-    buf = [(UINT32_MAX, UINT32_MAX)] * w
-    mn = (UINT32_MAX, UINT32_MAX)
-    min_pos = 0
-    buf_pos = 0
-    l = 0
-    key = 0
-    kmer_span = 0
-    tq: list[int] = []  # HPC span queue
-    i = 0
-    while i < seq_len:
-        c = int(bseq[i])
-        info = (UINT32_MAX, UINT32_MAX)
-        if c < 4:
-            if use_hpc:
-                skip_len = 1
-                if i + 1 < seq_len and bseq[i + 1] == c:
-                    skip_len = 2
-                    while i + skip_len < seq_len and bseq[i + skip_len] == c:
-                        skip_len += 1
-                    i += skip_len - 1
-                tq.append(skip_len)
-                kmer_span += skip_len
-                if len(tq) > k:
-                    kmer_span -= tq.pop(0)
-            else:
-                kmer_span = l + 1 if l + 1 < k else k
-            key = ((key << 2) | c) & mask
-            l += 1
-            if l >= k and kmer_span < 256:
-                info = (key, i)
-        else:
-            l = 0
-            tq.clear()
-            kmer_span = 0
-            key = 0
-        buf[buf_pos] = info
-
-        if l == w + k - 1 and mn[0] != UINT32_MAX:
-            for j in range(buf_pos + 1, w):
-                if mn[0] == buf[j][0] and buf[j][1] != mn[1]:
-                    out_keys.append(buf[j][0])
-                    out_pos.append(buf[j][1])
-            for j in range(buf_pos):
-                if mn[0] == buf[j][0] and buf[j][1] != mn[1]:
-                    out_keys.append(buf[j][0])
-                    out_pos.append(buf[j][1])
-
-        if info[0] <= mn[0]:
-            if l >= w + k and mn[0] != UINT32_MAX:
-                out_keys.append(mn[0])
-                out_pos.append(mn[1])
-            mn = info
-            min_pos = buf_pos
-        elif buf_pos == min_pos:
-            if l >= w + k - 1 and mn[0] != UINT32_MAX:
-                out_keys.append(mn[0])
-                out_pos.append(mn[1])
-            mn = (UINT32_MAX, UINT32_MAX)
-            for j in range(buf_pos + 1, w):
-                if mn[0] >= buf[j][0]:
-                    mn = buf[j]
-                    min_pos = j
-            for j in range(buf_pos + 1):
-                if mn[0] >= buf[j][0]:
-                    mn = buf[j]
-                    min_pos = j
-            if l >= w + k - 1 and mn[0] != UINT32_MAX:
-                for j in range(buf_pos + 1, w):
-                    if mn[0] == buf[j][0] and mn[1] != buf[j][1]:
-                        out_keys.append(buf[j][0])
-                        out_pos.append(buf[j][1])
-                for j in range(buf_pos + 1):
-                    if mn[0] == buf[j][0] and mn[1] != buf[j][1]:
-                        out_keys.append(buf[j][0])
-                        out_pos.append(buf[j][1])
-        buf_pos += 1
-        if buf_pos == w:
-            buf_pos = 0
-        i += 1
-    if mn[0] != UINT32_MAX:
-        out_keys.append(mn[0])
-        out_pos.append(mn[1])
-    return (
-        np.asarray(out_keys, dtype=np.uint64),
-        np.asarray(out_pos, dtype=np.int64),
-    )
-
-
 def minimizer_hash_vec(
     bseq: np.ndarray, k: int, w: int, use_hpc: bool = False
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Vectorized minimizer seeding for the common case; None = caller
-    must use the sequential oracle (minimizer_hash).
+    must use the general windowed path (minimizer_windowed).
 
     Reformulation (property-tested against the oracle,
     tests/test_seeding.py): on an N-free read the oracle's queue emits
@@ -233,6 +131,131 @@ def minimizer_hash_vec(
     return kk[emit], pos[emit]
 
 
+def minimizer_windowed(
+    bseq: np.ndarray, k: int, w: int, use_hpc: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """General minimizer seeding (handles N and HPC span drops), derived
+    from the behavioral spec rather than the reference's queue.
+
+    Spec (established against the sequential oracle by fuzz tests,
+    tests/test_seeding.py::TestMinimizerWindowed): the seeder walks
+    "steps" — one per base, except that with HPC a whole non-N
+    homopolymer run is one step (Ns step individually) — and at each
+    step t considers the window of the last w step infos, where
+    info_t = (key_t, seqpos_t) if a k-mer is complete (>= k steps since
+    the last N) and, under HPC, spans < 256 bases; else a +inf sentinel.
+    Writing mn_t for the window minimum by key with the NEWEST step
+    among equal keys (sentinels included, so mn_t is +inf iff the window
+    holds no valid k-mer), the emitted stream is exactly:
+
+      * window formation (t is the (w+k-1)-th step since the last N):
+        every window entry STRICTLY OLDER than step t with
+        key == mn_{t-1}.key except mn_{t-1} itself
+      * a new minimum arrives (info_t <= mn_{t-1}, newest-tie) at
+        >= w+k steps since the last N: mn_{t-1}
+      * the minimum falls out of the window (mn_{t-1} entered at step
+        t-w and info_t is not a new minimum), at >= w+k-1 steps: emit
+        mn_{t-1}, then every window entry with key == mn_t.key except
+        mn_t itself
+      * end of read: mn_last
+
+    (each emission only when the emitted info is not the sentinel).
+    Downstream order is irrelevant: collect_hits sorts by (key, pos).
+    This is the exact-semantics fallback for reads the fast two-pass
+    path (minimizer_hash_vec) rejects; it re-derives the emission rules
+    from the window-minimum invariant instead of porting the reference's
+    ring-buffer/tie-loop structure (reference src/tandem_hit.c:97-157 is
+    the behavior being specified, not the code followed)."""
+    bseq = np.asarray(bseq, dtype=np.int64)
+    n_raw = len(bseq)
+    SENT = 1 << 62
+    mask = (1 << (2 * k)) - 1
+    key = 0
+    l = 0
+    spans: list[int] = []   # raw span per non-N step (HPC run lengths)
+    i = 0
+    # per step: (key-or-SENT, seq pos-or-SENT, steps since last N)
+    infos: list[tuple[int, int, int]] = []
+    while i < n_raw:
+        c = int(bseq[i])
+        if c < 4:
+            run = 1
+            if use_hpc:
+                while i + run < n_raw and bseq[i + run] == c:
+                    run += 1
+            pos = i + run - 1
+            i += run
+            key = ((key << 2) | c) & mask
+            l += 1
+            if use_hpc:
+                spans.append(run)
+                span = sum(spans[-k:])
+            else:
+                span = min(l, k)
+            if l >= k and span < 256:
+                infos.append((key, pos, l))
+            else:
+                infos.append((SENT, SENT, l))
+        else:
+            l = 0
+            key = 0
+            spans.clear()
+            infos.append((SENT, SENT, 0))
+            i += 1
+
+    T = len(infos)
+    out_k: list[int] = []
+    out_p: list[int] = []
+
+    def wmin(t):
+        """Window min at step t by key, newest-step tie; returns
+        (key, pos, step)."""
+        lo = max(0, t - w + 1)
+        bk, bp, bt = SENT, SENT, lo
+        for j in range(lo, t + 1):
+            kj, pj, _ = infos[j]
+            if kj <= bk:
+                bk, bp, bt = kj, pj, j
+        return bk, bp, bt
+
+    mn = (SENT, SENT, 0)
+    for t in range(T):
+        kt, pt, lt = infos[t]
+        # window formation: emit ties of the pre-step minimum (the entry
+        # arriving this very step is excluded — only strictly older ones)
+        if lt == w + k - 1 and mn[0] != SENT:
+            for j in range(max(0, t - w + 1), t):
+                kj, pj, _ = infos[j]
+                if kj == mn[0] and pj != mn[1]:
+                    out_k.append(kj)
+                    out_p.append(pj)
+        if kt <= mn[0]:
+            # new (newest-tie) minimum arrives
+            if lt >= w + k and mn[0] != SENT:
+                out_k.append(mn[0])
+                out_p.append(mn[1])
+            mn = (kt, pt, t)
+        elif mn[2] == t - w:
+            # the tracked minimum fell out of the window
+            if lt >= w + k - 1 and mn[0] != SENT:
+                out_k.append(mn[0])
+                out_p.append(mn[1])
+            mn = wmin(t)
+            if lt >= w + k - 1 and mn[0] != SENT:
+                for j in range(max(0, t - w + 1), t + 1):
+                    kj, pj, _ = infos[j]
+                    if kj == mn[0] and pj != mn[1]:
+                        out_k.append(kj)
+                        out_p.append(pj)
+    if mn[0] != SENT:
+        out_k.append(mn[0])
+        out_p.append(mn[1])
+    return (
+        np.asarray(out_k, dtype=np.uint64),
+        np.asarray(out_p, dtype=np.int64),
+    )
+
+
 def build_kmer_seeds(
     bseq: np.ndarray, k: int, w: int, use_hpc: bool
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -241,7 +264,7 @@ def build_kmer_seeds(
         fast = minimizer_hash_vec(bseq, k, w, use_hpc)
         if fast is not None:
             return fast
-        return minimizer_hash(bseq, k, w, use_hpc)
+        return minimizer_windowed(bseq, k, w, use_hpc)
     return direct_hash(bseq, k, use_hpc)
 
 
