@@ -32,28 +32,34 @@ def _random_reads(rng, n, max_len, n_frac=0.02, tandem=True):
     return reads
 
 
-@pytest.mark.parametrize("k,hpc,min_p,max_p", [
-    (8, False, 30, 10000),
-    (8, True, 30, 10000),
-    (5, False, 2, 50),
-    (13, False, 30, 200),
-    (16, False, 30, 10000),
+@pytest.mark.parametrize("k,w,hpc,min_p,max_p", [
+    (8, 1, False, 30, 10000),
+    (8, 1, True, 30, 10000),
+    (5, 1, False, 2, 50),
+    (13, 1, False, 30, 200),
+    (16, 1, False, 30, 10000),
+    (8, 5, False, 30, 10000),
+    (8, 5, True, 30, 10000),
+    (8, 2, False, 30, 10000),
+    (13, 10, False, 2, 10000),
+    (16, 3, False, 30, 10000),
 ])
-def test_device_seeding_matches_oracle(k, hpc, min_p, max_p):
-    rng = np.random.default_rng(k * 1000 + min_p)
+def test_device_seeding_matches_oracle(k, w, hpc, min_p, max_p):
+    rng = np.random.default_rng(k * 1000 + w * 77 + min_p)
     reads = _random_reads(rng, 24, 700)
     # include degenerate shapes: tiny read, all-N read, poly-T read
-    # (poly-T stresses the k=16 key == uint32 sentinel corner)
+    # (poly-T stresses the k=16 key == uint32 sentinel corner; with
+    # w > 1 N-reads must round-trip through the fallback reroute)
     reads += [
         np.zeros(3, np.uint8),
         np.full(80, 4, np.uint8),
         np.full(90, 3, np.uint8),
     ]
     got = collect_hits_batch_host(
-        reads, k=k, w=1, use_hpc=hpc, min_p=min_p, max_p=max_p
+        reads, k=k, w=w, use_hpc=hpc, min_p=min_p, max_p=max_p
     )
     for r, (ge, gp) in zip(reads, got):
-        we, wp = collect_tandem_repeat_hits(r, k, 1, hpc, min_p, max_p)
+        we, wp = collect_tandem_repeat_hits(r, k, w, hpc, min_p, max_p)
         np.testing.assert_array_equal(ge, we)
         np.testing.assert_array_equal(gp, wp)
 

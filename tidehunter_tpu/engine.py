@@ -574,7 +574,7 @@ class Engine:
         stays host-side — there the device is the bottleneck and host
         seeding rides the pipelined overlap for free."""
         device_hits = None
-        use_dev_seed = mtp.w == 1 and (
+        use_dev_seed = (
             self.mesh is not None
             or os.environ.get("TH_DEVICE_SEED", "") == "1"
         )
@@ -647,14 +647,21 @@ class Engine:
 
             s = NamedSharding(self.mesh, P("dp"))
             args = tuple(jax.device_put(a, s) for a in args)
-        ends, periods, cnt = collect_hits_batch(
+        ends, periods, cnt, fb = collect_hits_batch(
             *args, k=mtp.k, use_hpc=bool(mtp.hpc),
-            min_p=mtp.min_p, max_p=mtp.max_p,
+            min_p=mtp.min_p, max_p=mtp.max_p, w=mtp.w,
         )
         ends = np.asarray(ends)
         periods = np.asarray(periods)
         cnt = np.asarray(cnt)
+        fb = np.asarray(fb)
+        # device-flagged reads (w>1 outside the two-pass preconditions)
+        # reroute through the exact host seeder
         return [
+            collect_tandem_repeat_hits(
+                encode(chunk[i].seq), mtp.k, mtp.w, mtp.hpc,
+                mtp.min_p, mtp.max_p)
+            if fb[i] else
             (
                 ends[i, : cnt[i]].astype(np.int64),
                 periods[i, : cnt[i]].astype(np.int64),

@@ -103,13 +103,20 @@ def minimizer_hash_vec(
     n = len(keys)
     if n == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
-    if use_hpc and n >= k:
-        # first k-mer spans from the read start (pos[-1] == -1 notionally)
-        if pos[k - 1] + 1 >= 255:
-            return None
-        spans = pos[k:] - pos[:-k]
-        if len(spans) and spans.max() >= 255:
-            return None
+    if use_hpc:
+        if n < k:
+            # conservative cover for every seed's span when the k-apart
+            # differences below don't exist: the last seed's end + 1
+            # bounds all spans from the (notional) read start
+            if pos[-1] + 1 >= 255:
+                return None
+        else:
+            # first k seeds: pos[k-1]+1 >= span of every seed 0..k-1
+            if pos[k - 1] + 1 >= 255:
+                return None
+            spans = pos[k:] - pos[:-k]
+            if len(spans) and spans.max() >= 255:
+                return None
     kk = keys.astype(np.uint64)
     if n < w:
         # partial buffer: the final flush emits the LAST position among

@@ -69,7 +69,8 @@ def _hpc_compact(bseq: jnp.ndarray, length: jnp.ndarray):
     return stream, pos_sorted, stream_len
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_hpc", "min_p", "max_p"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "use_hpc", "min_p", "max_p", "w"))
 def collect_hits_batch(
     bseq: jnp.ndarray,
     length: jnp.ndarray,
@@ -78,13 +79,23 @@ def collect_hits_batch(
     use_hpc: bool,
     min_p: int,
     max_p: int,
+    w: int = 1,
 ):
-    """Batched collect_tandem_repeat_hit (tandem_hit.c:227-237), w == 1.
+    """Batched collect_tandem_repeat_hit (tandem_hit.c:227-237).
 
     bseq: [B, L] uint8 encoded reads (0..3 bases, 4 = N; pad with 4).
     length: [B] int32 read lengths.
-    Returns (ends [B, L] int32, periods [B, L] int32, n_hits [B] int32);
-    rows are sorted by (end, period) with INT32_MAX sentinels past n_hits.
+    Returns (ends [B, L] int32, periods [B, L] int32, n_hits [B] int32,
+    fallback [B] bool); rows are sorted by (end, period) with INT32_MAX
+    sentinels past n_hits.
+
+    w > 1 runs minimizer seeding via the two sliding-extrema passes of
+    the host reformulation (ops/seeding.minimizer_hash_vec): a k-mer is
+    emitted iff its key equals the minimum of some window of w
+    consecutive k-mers (ties included).  Reads outside that
+    reformulation's preconditions — any N, an HPC k-mer span >= 255, or
+    fewer than w k-mers — get fallback=True (their rows are garbage) and
+    the caller reroutes them through the exact host path.
     """
     B, L = bseq.shape
     length = length.astype(jnp.int32)
@@ -113,6 +124,51 @@ def collect_hits_batch(
     window_n = csum - csum_km1
     sidx = jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = (sidx >= k - 1) & (sidx < stream_len[:, None]) & (window_n == 0)
+
+    if w > 1:
+        in_read = sidx < length[:, None]
+        has_n = jnp.any((bseq >= 4) & in_read, axis=1)
+        n_seeds = jnp.sum(valid, axis=1)
+        fallback = has_n | (n_seeds < w)
+        if use_hpc:
+            # HPC span rule mirror (minimizer_hash_vec): the first-k-seed
+            # guard is the conservative positions[2k-2]+1 bound (it
+            # dominates the true span of every seed 0..k-1); later spans
+            # are position differences k stream lanes apart
+            INF = jnp.int32(1 << 30)
+            posc = jnp.minimum(positions, INF)
+            first_span = jnp.sum(
+                jnp.where(sidx == 2 * k - 2, posc, 0), axis=1) + 1
+            pos_km = jnp.pad(posc, ((0, 0), (k, 0)))[:, :L]
+            span = posc - pos_km
+            span_lane = (sidx >= 2 * k - 1) & (sidx < stream_len[:, None])
+            last_pos = jnp.max(
+                jnp.where(sidx < stream_len[:, None], posc, -1), axis=1)
+            fallback = fallback | jnp.where(
+                n_seeds >= k,
+                (first_span >= 255)
+                | jnp.any(span_lane & (span >= 255), axis=1),
+                (n_seeds >= 1) & (last_pos + 1 >= 255))
+        # two sliding-extrema passes over the contiguous seed lanes
+        # [k-1, stream_len): wm[i] = min key over lanes [i-w+1, i]
+        # (valid iff the whole window is seeds), then a k-mer is emitted
+        # iff some covering window's minimum equals its key
+        UINT32_MAX = jnp.uint32(0xFFFFFFFF)
+        okey = jnp.where(valid, key, UINT32_MAX)
+        wm = okey
+        for o in range(1, w):
+            wm = jnp.minimum(
+                wm, jnp.pad(okey, ((0, 0), (o, 0)),
+                            constant_values=UINT32_MAX)[:, :L])
+        wm_ok = (sidx >= k - 1 + w - 1) & (sidx < stream_len[:, None])
+        wmz = jnp.where(wm_ok, wm, jnp.uint32(0))
+        cover = wmz
+        for o in range(1, w):
+            cover = jnp.maximum(
+                cover, jnp.pad(wmz, ((0, 0), (0, o)))[:, o:])
+        valid = valid & (cover == okey)
+    else:
+        fallback = jnp.zeros(B, bool)
 
     # --- self-hit pairing via merge ----------------------------------
     # records: 2L per read.  sort keys (lexicographic, num_keys=3):
@@ -157,7 +213,7 @@ def collect_hits_batch(
     # at most one hit per occurrence)
     e_sorted, p_sorted = lax.sort((ends, periods), num_keys=2)
     n_hits = jnp.sum(hit_ok, axis=1).astype(jnp.int32)
-    return e_sorted[:, :L], p_sorted[:, :L], n_hits
+    return e_sorted[:, :L], p_sorted[:, :L], n_hits, fallback
 
 
 def collect_hits_batch_host(
@@ -171,15 +227,11 @@ def collect_hits_batch_host(
     pad_to: int | None = None,
 ):
     """Host convenience wrapper: list of np uint8 reads -> per-read
-    (ends, periods) int64 arrays via one device call.  Falls back to the
-    host oracle for w > 1 (minimizer mode has no device path)."""
+    (ends, periods) int64 arrays via one device call.  Device-flagged
+    reads (w > 1 outside the two-pass preconditions) reroute through the
+    exact host path."""
     from .seeding import collect_tandem_repeat_hits
 
-    if w > 1:
-        return [
-            collect_tandem_repeat_hits(b, k, w, use_hpc, min_p, max_p)
-            for b in bseqs
-        ]
     B = len(bseqs)
     L = max(1, max((len(b) for b in bseqs), default=1))
     if pad_to is not None:
@@ -189,14 +241,17 @@ def collect_hits_batch_host(
     for i, b in enumerate(bseqs):
         batch[i, : len(b)] = b
         lens[i] = len(b)
-    ends, periods, n = collect_hits_batch(
+    ends, periods, n, fb = collect_hits_batch(
         jnp.asarray(batch), jnp.asarray(lens),
-        k=k, use_hpc=use_hpc, min_p=min_p, max_p=max_p,
+        k=k, use_hpc=use_hpc, min_p=min_p, max_p=max_p, w=w,
     )
     ends = np.asarray(ends)
     periods = np.asarray(periods)
     n = np.asarray(n)
+    fb = np.asarray(fb)
     return [
+        collect_tandem_repeat_hits(bseqs[i], k, w, use_hpc, min_p, max_p)
+        if fb[i] else
         (ends[i, : n[i]].astype(np.int64), periods[i, : n[i]].astype(np.int64))
         for i in range(B)
     ]
