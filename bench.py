@@ -111,6 +111,7 @@ def main() -> int:
                 "value": round(reads_per_s, 3),
                 "unit": "reads/s",
                 "vs_baseline": round(reads_per_s / base_reads_per_s, 2),
+                "vs_t32": round(reads_per_s / base_reads_per_s_32t, 4),
             }
         )
     )

@@ -36,7 +36,7 @@ from .io.codec import encode
 from .io.output import TandemResult
 from .params import Params
 from .ops import ksw2
-from .ops.chaining_native import tandem_chain_native
+from .ops.chaining_native import tandem_chain_from_dp, tandem_chain_native
 from .ops.msa_batch import star_msa_round
 from .ops.partition import (
     combine_walks,
@@ -574,13 +574,14 @@ class Engine:
         stays host-side — there the device is the bottleneck and host
         seeding rides the pipelined overlap for free."""
         device_hits = None
+        device_chains = None
         use_dev_seed = (
             self.mesh is not None
             or os.environ.get("TH_DEVICE_SEED", "") == "1"
         )
         if use_dev_seed:
             with METRICS.timed("device_seed"):
-                device_hits = self._device_seed(chunk, mtp)
+                device_hits, device_chains = self._device_seed(chunk, mtp)
 
         bseqs = [None] * len(chunk)
         read_chains = [None] * len(chunk)
@@ -592,6 +593,9 @@ class Engine:
                 return
             bseq = encode(rec.seq)
             bseqs[ri] = bseq
+            if device_chains is not None and device_chains[ri] is not None:
+                read_chains[ri] = device_chains[ri]
+                return
             if device_hits is not None:
                 ends, periods = device_hits[ri]
             else:
@@ -647,27 +651,67 @@ class Engine:
 
             s = NamedSharding(self.mesh, P("dp"))
             args = tuple(jax.device_put(a, s) for a in args)
-        ends, periods, cnt, fb = collect_hits_batch(
+        ends_d, periods_d, cnt_d, fb_d = collect_hits_batch(
             *args, k=mtp.k, use_hpc=bool(mtp.hpc),
             min_p=mtp.min_p, max_p=mtp.max_p, w=mtp.w,
         )
-        ends = np.asarray(ends)
-        periods = np.asarray(periods)
-        cnt = np.asarray(cnt)
-        fb = np.asarray(fb)
-        # device-flagged reads (w>1 outside the two-pass preconditions)
-        # reroute through the exact host seeder
-        return [
-            collect_tandem_repeat_hits(
-                encode(chunk[i].seq), mtp.k, mtp.w, mtp.hpc,
-                mtp.min_p, mtp.max_p)
-            if fb[i] else
-            (
-                ends[i, : cnt[i]].astype(np.int64),
-                periods[i, : cnt[i]].astype(np.int64),
-            )
-            for i in range(n)
-        ]
+        cnt = np.asarray(cnt_d)
+        fb = np.asarray(fb_d)
+
+        # Device chain DP over the still-resident hit matrices (VERDICT r2
+        # item 2): bucket hit capacity to the next power of two and run the
+        # windowed scan with window == bucket, which makes every non-gated
+        # row bit-exact (ops/chaining_jax.py). Host post-processing
+        # (tandem_chain_from_dp -> native th_chain_post) touches only the
+        # ~1-3 selected chains per read. Default on under a mesh (the
+        # 1-core host cannot chain for 8 chips); opt-in/out anywhere via
+        # TH_DEVICE_CHAIN.
+        dev_chain_env = os.environ.get("TH_DEVICE_CHAIN", "")
+        use_dev_chain = (
+            dev_chain_env == "1"
+            or (dev_chain_env != "0" and self.mesh is not None)
+        )
+        score = from_idx = fb_c = None
+        max_hits = int(cnt.max()) if n else 0
+        if use_dev_chain and max_hits >= 2 and max_hits <= 8192:
+            from .ops.chaining_jax import chain_dp_batch
+
+            Lh = 512
+            while Lh < max_hits:
+                Lh *= 2
+            with METRICS.timed("device_chain"):
+                score_d, from_d, fbc_d = chain_dp_batch(
+                    ends_d[:, :Lh], periods_d[:, :Lh], cnt_d,
+                    k=mtp.k, window=Lh,
+                )
+                score = np.asarray(score_d).astype(np.int64)
+                from_idx = np.asarray(from_d).astype(np.int64)
+                fb_c = np.asarray(fbc_d)
+
+        ends = np.asarray(ends_d)
+        periods = np.asarray(periods_d)
+        hits_list = []
+        chains_list = [None] * n
+        for i in range(n):
+            if fb[i]:
+                # device-flagged reads (w>1 outside the two-pass
+                # preconditions) reroute through the exact host seeder
+                hits_list.append(collect_tandem_repeat_hits(
+                    encode(chunk[i].seq), mtp.k, mtp.w, mtp.hpc,
+                    mtp.min_p, mtp.max_p))
+                continue
+            e = ends[i, : cnt[i]].astype(np.int64)
+            p = periods[i, : cnt[i]].astype(np.int64)
+            hits_list.append((e, p))
+            if score is not None and not fb_c[i]:
+                c = int(cnt[i])
+                if c < 2:
+                    chains_list[i] = (None, [])
+                else:
+                    chains_list[i] = tandem_chain_from_dp(
+                        e, p, score[i, :c], from_idx[i, :c], mtp.k
+                    )
+        return hits_list, chains_list
 
     def close(self) -> None:
         if self._pool is not None:

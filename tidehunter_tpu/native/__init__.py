@@ -55,6 +55,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.th_chain.restype = ctypes.c_int64
     lib.th_chain.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64,
                              i64p, i64p, i64p]
+    lib.th_chain_post.restype = ctypes.c_int64
+    lib.th_chain_post.argtypes = [i64p, i64p, i64p, i64p, ctypes.c_int64,
+                                  i64p, i64p, i64p]
     lib.th_seed.restype = ctypes.c_int64
     lib.th_seed.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                             ctypes.c_int, ctypes.c_int64, ctypes.c_int64,

@@ -218,6 +218,14 @@ static int is_overlap_chain1(
     return ratio >= 0.5;
 }
 
+/* Post-DP processing (ranking, backtrack, overlap dedup, sort_chain,
+ * post-filter) shared by th_chain and th_chain_post. */
+static int64_t chain_post(
+    const int64_t *ends, const int64_t *start, const int64_t *score,
+    const int64_t *from, const int64_t *grp_of, const int64_t *gptr,
+    int64_t n, int64_t tot_n,
+    int64_t *out_cells, int64_t *out_offsets, int64_t *out_est);
+
 /* returns the number of post-processed chains; caller buffers:
  *   out_cells   cap n      (flat cell indices, concatenated)
  *   out_offsets cap TOP_N+1
@@ -233,8 +241,7 @@ int64_t th_chain(
     int64_t *score = (int64_t *)malloc(n * sizeof(int64_t));
     int64_t *from = (int64_t *)malloc(n * sizeof(int64_t));
     int64_t *grp_of = (int64_t *)malloc(n * sizeof(int64_t));
-    uint8_t *tracked = (uint8_t *)calloc(n, 1);
-    int64_t tot_n = 0, i, j;
+    int64_t tot_n = 0, i;
     for (i = 0; i < n; ++i) {
         if (i == 0 || ends[i] != ends[i - 1]) tot_n++;
         grp_of[i] = tot_n - 1;
@@ -307,6 +314,51 @@ int64_t th_chain(
             if (max_score > score[cur]) { score[cur] = max_score; from[cur] = max_pre; }
         }
     }
+
+    int64_t n_post = chain_post(ends, start, score, from, grp_of, gptr,
+                                n, tot_n, out_cells, out_offsets, out_est);
+    free(start); free(score); free(from); free(grp_of); free(gptr);
+    return n_post;
+}
+
+/* Entry for a DP computed elsewhere (the device chain kernel,
+ * ops/chaining_jax.py): takes per-cell score/from arrays and runs only
+ * the ranking/backtrack/dedup post-processing. */
+int64_t th_chain_post(
+    const int64_t *ends, const int64_t *periods,
+    const int64_t *score, const int64_t *from, int64_t n,
+    int64_t *out_cells, int64_t *out_offsets, int64_t *out_est)
+{
+    if (n < 2) return 0;
+    int64_t *start = (int64_t *)malloc(n * sizeof(int64_t));
+    int64_t *grp_of = (int64_t *)malloc(n * sizeof(int64_t));
+    int64_t tot_n = 0, i;
+    for (i = 0; i < n; ++i) {
+        if (i == 0 || ends[i] != ends[i - 1]) tot_n++;
+        grp_of[i] = tot_n - 1;
+        start[i] = ends[i] - periods[i];
+    }
+    int64_t *gptr = (int64_t *)malloc((tot_n + 1) * sizeof(int64_t));
+    {
+        int64_t g = 0;
+        for (i = 0; i < n; ++i)
+            if (i == 0 || ends[i] != ends[i - 1]) gptr[g++] = i;
+        gptr[tot_n] = n;
+    }
+    int64_t n_post = chain_post(ends, start, score, from, grp_of, gptr,
+                                n, tot_n, out_cells, out_offsets, out_est);
+    free(start); free(grp_of); free(gptr);
+    return n_post;
+}
+
+static int64_t chain_post(
+    const int64_t *ends, const int64_t *start, const int64_t *score,
+    const int64_t *from, const int64_t *grp_of, const int64_t *gptr,
+    int64_t n, int64_t tot_n,
+    int64_t *out_cells, int64_t *out_offsets, int64_t *out_est)
+{
+    int64_t i, j;
+    uint8_t *tracked = (uint8_t *)calloc(n, 1);
 
     /* rank positive cells: (grp desc, j asc) stable under score desc.
      * Collection order IS the tie order, so a stable counting sort by
@@ -444,7 +496,6 @@ int64_t th_chain(
 
     for (i = 0; i < TOP_N; ++i)
         if (chains[i].cells) free(chains[i].cells);
-    free(chains); free(chain_idx); free(rank);
-    free(start); free(score); free(from); free(grp_of); free(tracked); free(gptr);
+    free(chains); free(chain_idx); free(rank); free(tracked);
     return n_post;
 }
