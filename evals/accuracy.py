@@ -35,22 +35,38 @@ from tidehunter_tpu.ops.myers import align_hw  # noqa: E402
 from tidehunter_tpu.params import Params  # noqa: E402
 
 
-# (error rate, unit length, copy number) — the corners and center of the
-# reference sweep (simulation/README.md:17-41), sized to run in minutes.
-# Note (0.20, *, 2): two copies at 20% error diverge ~35% pairwise, beyond
-# the default -e 0.25 partition acceptance (reference src/partition.c:205),
-# so 0% detection there is the reference-faithful outcome — the "up to 20%
-# error" capability (README.md:68-70) presumes more copies.
+# (error rate, unit length, copy number) — the FULL 15-dataset paper
+# protocol (reference simulation/README.md:17-41): copy_num sweep
+# c∈{2,3,5,10,20} at e0.15/s1000, err_rate sweep e∈{0.13,0.15a,0.15b,
+# 0.16,0.20} at s1000/c10 (0.15a/0.15b are two replicas — reproduced
+# here with distinct seeds via the replica tag), repeat_size sweep
+# s∈{100,500,1000,2000,3000} at e0.15/c10.
+# Note (0.15, 1000, 2): two copies at 15% error diverge ~28% pairwise,
+# near the default -e 0.25 partition acceptance (reference
+# src/partition.c:205), so low detection there is reference-faithful —
+# the "up to 20% error" capability (README.md:68-70) presumes more
+# copies.
 CONFIGS = [
-    (0.13, 100, 10),
-    (0.13, 500, 10),
-    (0.16, 500, 10),
-    (0.20, 500, 10),
-    (0.16, 1000, 5),
-    (0.16, 3000, 3),
-    (0.16, 200, 20),
-    (0.20, 2000, 2),
+    # copy_num/
+    (0.15, 1000, 2),
+    (0.15, 1000, 3),
+    (0.15, 1000, 5),
+    (0.15, 1000, 10),
+    (0.15, 1000, 20),
+    # err_rate/ (0.15a and 0.15b replicas: same params, different seed)
+    (0.13, 1000, 10),
+    (0.15, 1000, 10, "a"),
+    (0.15, 1000, 10, "b"),
+    (0.16, 1000, 10),
+    (0.20, 1000, 10),
+    # repeat_size/
+    (0.15, 100, 10),
+    (0.15, 500, 10),
+    (0.15, 2000, 10),
+    (0.15, 3000, 10),
 ]
+# (0.15, 1000, 10) appears in all three reference folders; it is listed
+# once per distinct seed (base + replicas a/b) = 15 datasets total.
 
 
 def mutate(rng, unit: np.ndarray, err: float) -> np.ndarray:
@@ -88,7 +104,14 @@ def consensus_identity(cons: str, unit: str) -> float:
     return max(0.0, 1.0 - ed / len(cons))
 
 
-def evaluate(n_reads: int, device: str, configs) -> int:
+def evaluate(n_reads: int, device: str, configs, msa: str = "profile") -> int:
+    import os
+
+    if msa == "graph":
+        # graph-POA oracle (ops/poa.py) in place of the production
+        # profile-POA — the VERDICT r2 fidelity-gate comparison axis
+        os.environ["TH_MSA"] = "graph"
+        device = "off"
     mtp = Params()
     if device in ("tpu", "cpu"):
         from tidehunter_tpu.engine import make_engine
@@ -102,8 +125,15 @@ def evaluate(n_reads: int, device: str, configs) -> int:
 
     print(f"{'err':>5} {'unit':>5} {'copies':>6} | {'detect%':>8} "
           f"{'mean_id%':>8} {'med_id%':>8} {'cn_err':>6} {'reads/s':>8}")
-    for err, unit_len, copies in configs:
-        rng = np.random.default_rng(hash((err, unit_len, copies)) % 2**31)
+    for cfg in configs:
+        err, unit_len, copies = cfg[:3]
+        tag = cfg[3] if len(cfg) > 3 else ""
+        # str hash is PYTHONHASHSEED-salted; map the replica tag to an
+        # int so seeds are stable across processes (base == round-2 seeds)
+        seed_tuple = (err, unit_len, copies) + (
+            (ord(tag),) if tag else ()
+        )
+        rng = np.random.default_rng(hash(seed_tuple) % 2**31)
         reads, units = [], []
         for i in range(n_reads):
             seq, unit = make_read(rng, err, unit_len, copies)
@@ -124,9 +154,10 @@ def evaluate(n_reads: int, device: str, configs) -> int:
         mean_id = 100 * float(np.mean(idens)) if idens else 0.0
         med_id = 100 * float(np.median(idens)) if idens else 0.0
         cn = float(np.mean(cn_errs)) if cn_errs else float("nan")
-        print(f"{err:5.2f} {unit_len:5d} {copies:6d} | "
+        print(f"{err:5.2f}{tag or ' '}{unit_len:5d} {copies:6d} | "
               f"{100 * detected / n_reads:8.1f} {mean_id:8.2f} "
-              f"{med_id:8.2f} {cn:6.2f} {n_reads / dt:8.1f}")
+              f"{med_id:8.2f} {cn:6.2f} {n_reads / dt:8.1f}",
+              flush=True)
     return 0
 
 
@@ -135,12 +166,20 @@ def main(argv=None) -> int:
     ap.add_argument("--reads", type=int, default=50)
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu", "off"])
     ap.add_argument("--configs", default="all")
+    ap.add_argument(
+        "--msa", default="profile", choices=["profile", "graph"],
+        help="graph = score the graph-POA oracle (ops/poa.py) instead of "
+             "the production profile-POA (forces --device off)",
+    )
     args = ap.parse_args(argv)
-    configs = CONFIGS if args.configs == "all" else [
-        tuple(map(float, c.split(":"))) for c in args.configs.split(",")
-    ]
-    configs = [(float(e), int(u), int(c)) for e, u, c in configs]
-    return evaluate(args.reads, args.device, configs)
+    if args.configs == "all":
+        configs = CONFIGS
+    else:
+        configs = []
+        for c in args.configs.split(","):
+            e, u, n = c.split(":")[:3]
+            configs.append((float(e), int(u), int(n)) + tuple(c.split(":")[3:]))
+    return evaluate(args.reads, args.device, configs, msa=args.msa)
 
 
 if __name__ == "__main__":
