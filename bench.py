@@ -48,8 +48,40 @@ def synth_read(rng, unit_len=450, copies=9, err=0.10, flank=150):
     return decode(np.concatenate(parts))
 
 
+def tpu_smoke() -> str:
+    """Run the hardware-gated parity subset (banded-MSA parity, wavefront
+    lowering, ksw2 device) on the real chip BEFORE the bench engine grabs
+    the device — VERDICT r2 item 7: these tests skip on CPU, so without
+    this hook nothing in the round loop would ever execute them.
+
+    Runs as a subprocess so its backend teardown can't pollute the bench
+    process; the parent must not have initialized JAX yet (the tunnel is
+    single-tenant). Returns a status string for the detail line."""
+    if os.environ.get("TH_SKIP_TPU_SMOKE", "") == "1":
+        return "skipped(env)"
+    import subprocess
+
+    env = dict(os.environ)
+    env["TH_TEST_TPU"] = "1"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x", "-rs",
+             "tests/test_msa_device.py", "tests/test_wavefront.py",
+             "tests/test_ksw2_device.py"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=env, capture_output=True, text=True, timeout=2400,
+        )
+    except subprocess.TimeoutExpired:
+        return "TIMEOUT"
+    tail = (r.stdout or "").strip().splitlines()
+    summary = tail[-1] if tail else ""
+    return ("pass: " if r.returncode == 0 else "FAIL: ") + summary
+
+
 def main() -> int:
     n_reads = int(os.environ.get("BENCH_READS", "1024"))
+    smoke = tpu_smoke()
+    print(f"# tpu_smoke: {smoke}", file=sys.stderr)
 
     import tempfile
 
@@ -104,6 +136,32 @@ def main() -> int:
         f"linear extrapolation",
         file=sys.stderr,
     )
+    # Per-stage attribution (VERDICT r2: every perf claim must be
+    # attributable): host-wall stage timers, device-blocked timers, DP cell
+    # throughput. Timers cover warmup+measured runs; ratios still hold.
+    from tidehunter_tpu.utils.metrics import METRICS
+
+    s = METRICS.snapshot()
+    stage_keys = [k for k in sorted(s) if k.startswith("time_")]
+    if stage_keys:
+        print(
+            "# stages: " + " ".join(
+                f"{k[5:-2]}={s[k]:.2f}s" for k in stage_keys),
+            file=sys.stderr,
+        )
+    wf_t = s.get("time_dev_global_s", 0) + s.get("time_dev_ext_s", 0)
+    msa_t = s.get("time_dev_msa_s", 0)
+    lines = []
+    if wf_t and s.get("wf_cells"):
+        lines.append(
+            f"wavefront {s['wf_cells'] / wf_t / 1e9:.2f} Gcell/s useful"
+            f" ({s.get('wf_cells_disp', 0) / wf_t / 1e9:.2f} dispatched)")
+    if msa_t and s.get("msa_cells"):
+        lines.append(f"msa {s['msa_cells'] / msa_t / 1e9:.2f} Gcell/s")
+    if s.get("rounds"):
+        lines.append(f"rounds={s['rounds']:g}")
+    if lines:
+        print("# kernels: " + "; ".join(lines), file=sys.stderr)
     print(
         json.dumps(
             {

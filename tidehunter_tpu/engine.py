@@ -175,6 +175,11 @@ class BatchAligner:
             t[row, : len(ts)] = ts
             qlen[row] = max(1, len(qs))
             tlen[row] = max(1, len(ts))
+        # Gcell/s telemetry: useful DP cells (sum qlen*tlen) vs dispatched
+        # capacity (B*LQ*LT) — the denominator of the padding-waste story
+        METRICS.add("wf_cells", float(
+            np.dot(qlen.astype(np.float64), tlen.astype(np.float64))))
+        METRICS.add("wf_cells_disp", float(B) * LQ * LT)
         return q, qlen, t, tlen
 
     def _sub_batches(self, idxs, LQ, LT):
@@ -197,33 +202,37 @@ class BatchAligner:
         if self.use_wavefront:
             import jax.numpy as jnp
 
-            chunks = []
-            placed: List[Tuple[List[int], int]] = []
-            off = 0
-            for (LQ, LT), idxs in groups.items():
-                pieces = _piecewise(
-                    idxs, self.wf.fixed_b(LT),
-                    lambda n, T=LT: self.wf.sub_b(T, n),
-                )
-                for pidx, B in pieces:
-                    q, qlen, t, tlen = self._pad(
-                        reqs, pidx, LQ, LT, exact_B=B)
-                    qle = np.zeros(B, np.int32)
-                    for row, i in enumerate(pidx):
-                        qle[row] = max(0, reqs[i][2])
-                    iden, tleft = self.wf.global_batch(
-                        q, qlen, t, tlen, qle, scores)
-                    chunks.append(jnp.stack([iden, tleft], axis=1))
-                    placed.append((pidx, off))
-                    off += B
-            if chunks:
-                res = np.asarray(
-                    chunks[0] if len(chunks) == 1
-                    else jnp.concatenate(chunks, axis=0)
-                )
-                for idxs, base in placed:
-                    for row, i in enumerate(idxs):
-                        out[i] = (int(res[base + row, 0]), int(res[base + row, 1]))
+            with METRICS.timed("dev_global"):
+                chunks = []
+                placed: List[Tuple[List[int], int]] = []
+                off = 0
+                for (LQ, LT), idxs in groups.items():
+                    pieces = _piecewise(
+                        idxs, self.wf.fixed_b(LT),
+                        lambda n, T=LT: self.wf.sub_b(T, n),
+                    )
+                    for pidx, B in pieces:
+                        q, qlen, t, tlen = self._pad(
+                            reqs, pidx, LQ, LT, exact_B=B)
+                        qle = np.zeros(B, np.int32)
+                        for row, i in enumerate(pidx):
+                            qle[row] = max(0, reqs[i][2])
+                        iden, tleft = self.wf.global_batch(
+                            q, qlen, t, tlen, qle, scores)
+                        chunks.append(jnp.stack([iden, tleft], axis=1))
+                        placed.append((pidx, off))
+                        off += B
+                if chunks:
+                    res = np.asarray(
+                        chunks[0] if len(chunks) == 1
+                        else jnp.concatenate(chunks, axis=0)
+                    )
+                    for idxs, base in placed:
+                        for row, i in enumerate(idxs):
+                            out[i] = (
+                                int(res[base + row, 0]),
+                                int(res[base + row, 1]),
+                            )
             return out
         launched = []
         for (LQ, LT), idxs in groups.items():
@@ -268,30 +277,34 @@ class BatchAligner:
         if self.use_wavefront:
             import jax.numpy as jnp
 
-            chunks = []
-            placed: List[Tuple[List[int], int]] = []
-            off = 0
-            for (LQ, LT), idxs in groups.items():
-                pieces = _piecewise(
-                    idxs, self.wf.fixed_b(LT),
-                    lambda n, T=LT: self.wf.sub_b(T, n),
-                )
-                for pidx, B in pieces:
-                    q, qlen, t, tlen = self._pad(
-                        reqs, pidx, LQ, LT, exact_B=B)
-                    _mx, mt, mq, _sc = self.wf.ext_batch(
-                        q, qlen, t, tlen, scores)
-                    chunks.append(jnp.stack([mq, mt], axis=1))
-                    placed.append((pidx, off))
-                    off += B
-            if chunks:
-                res = np.asarray(
-                    chunks[0] if len(chunks) == 1
-                    else jnp.concatenate(chunks, axis=0)
-                )
-                for idxs, base in placed:
-                    for row, i in enumerate(idxs):
-                        out[i] = (int(res[base + row, 0]), int(res[base + row, 1]))
+            with METRICS.timed("dev_ext"):
+                chunks = []
+                placed: List[Tuple[List[int], int]] = []
+                off = 0
+                for (LQ, LT), idxs in groups.items():
+                    pieces = _piecewise(
+                        idxs, self.wf.fixed_b(LT),
+                        lambda n, T=LT: self.wf.sub_b(T, n),
+                    )
+                    for pidx, B in pieces:
+                        q, qlen, t, tlen = self._pad(
+                            reqs, pidx, LQ, LT, exact_B=B)
+                        _mx, mt, mq, _sc = self.wf.ext_batch(
+                            q, qlen, t, tlen, scores)
+                        chunks.append(jnp.stack([mq, mt], axis=1))
+                        placed.append((pidx, off))
+                        off += B
+                if chunks:
+                    res = np.asarray(
+                        chunks[0] if len(chunks) == 1
+                        else jnp.concatenate(chunks, axis=0)
+                    )
+                    for idxs, base in placed:
+                        for row, i in enumerate(idxs):
+                            out[i] = (
+                                int(res[base + row, 0]),
+                                int(res[base + row, 1]),
+                            )
             return out
         launched = []
         for (LQ, LT), idxs in groups.items():
@@ -418,6 +431,9 @@ class Engine:
         by_kind: Dict[str, List[int]] = {}
         for i, req in enumerate(reqs):
             by_kind.setdefault(req[0], []).append(i)
+        METRICS.add("rounds")
+        for kind in by_kind:
+            METRICS.add(f"rounds_{kind}")
         out: List = [None] * len(reqs)
         if "global" in by_kind:
             idxs = by_kind["global"]
@@ -542,7 +558,8 @@ class Engine:
                 polish=getattr(m, "polish", 0), mesh=self.mesh,
                 gap_open2=m.gap_open2, gap_ext2=m.gap_ext2,
             )
-        results = self._device_msa.consensus_batch(regions)
+        with METRICS.timed("dev_msa"):
+            results = self._device_msa.consensus_batch(regions)
         from .ops.poa_profile import profile_consensus
 
         m = self.mtp

@@ -1005,6 +1005,8 @@ class DeviceMSA:
 
     def _one_batch(self, regs, T, B, round_fn, polish_round_fn, jnp,
                    W=None):
+        from ..utils.metrics import METRICS
+
         banded = W is not None
         R = len(regs)
         # U only shapes the cheap gather/init jits (compiled per distinct
@@ -1029,6 +1031,13 @@ class DeviceMSA:
         nunits_dev = jnp.asarray(nunits)
         ev = jnp.zeros(B, jnp.int32)
         max_units = int(nunits.max())
+        # Gcell/s telemetry: each unit round sweeps a [B, T, band] DP
+        METRICS.add(
+            "msa_cells",
+            float(B) * T * (W if banded else T)
+            * (max_units - 1 + self.polish * max_units),
+        )
+        METRICS.add("msa_batches")
         for k in range(1, max_units):
             unit_k, qlen_k, active = self.gather_step(
                 units_dev, ulen_dev, nunits_dev, k)

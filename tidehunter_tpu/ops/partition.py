@@ -46,15 +46,21 @@ def partition_walk_left(
     est_ch_i = ch.est_ch_i
     est_start = ch.est_start
     est_period = ch.est_period
-    first_end = int(dp.end[ch.cells[0]])
+    # hoist the cells' coordinates into plain-int lists once: the walk
+    # below touches O(cells) entries and numpy scalar indexing costs ~1 us
+    # each — this loop was the single largest host cost per read
+    cells = np.asarray(ch.cells)
+    starts = dp.start[cells].tolist()
+    ends = dp.end[cells].tolist()
+    first_end = ends[0]
     par_pos: List[int] = []
 
     ch_i, s, e = est_ch_i, est_start, est_start + est_period
     while s >= first_end and ch_i > 0:
         s2, e2 = s, e
         for i in range(ch_i - 1, -1, -1):
-            s1 = int(dp.start[ch.cells[i]])
-            e1 = int(dp.end[ch.cells[i]])
+            s1 = starts[i]
+            e1 = ends[i]
             if e1 == s:
                 par_pos.append(s1)
                 ch_i, s, e = i, s1, e1
@@ -97,15 +103,20 @@ def partition_walk_right(
     est_ch_i = ch.est_ch_i
     est_start = ch.est_start
     est_period = ch.est_period
-    last_start = int(dp.start[ch.cells[-1]])
+    # plain-int hoist (see partition_walk_left)
+    cells = np.asarray(ch.cells)
+    starts = dp.start[cells].tolist()
+    ends = dp.end[cells].tolist()
+    last_start = starts[-1]
+    n_cells = len(starts)
     par_pos: List[int] = []
 
     ch_i, s, e = est_ch_i, est_start, est_start + est_period
-    while ch_i < len(ch.cells) - 1 and e <= last_start:
+    while ch_i < n_cells - 1 and e <= last_start:
         s1, e1 = s, e
-        for i in range(ch_i + 1, len(ch.cells)):
-            s2 = int(dp.start[ch.cells[i]])
-            e2 = int(dp.end[ch.cells[i]])
+        for i in range(ch_i + 1, n_cells):
+            s2 = starts[i]
+            e2 = ends[i]
             if s2 == e:
                 par_pos.append(e2)
                 ch_i, s, e = i, s2, e2
@@ -120,7 +131,7 @@ def partition_walk_right(
                     s = e
                     e = e2 - t_left
                     if e == s:
-                        ch_i = len(ch.cells)
+                        ch_i = n_cells
                         break
                     par_pos.append(e)
                     ch_i = i - 1
