@@ -40,6 +40,7 @@ from .ops.chaining_native import tandem_chain_from_dp, tandem_chain_native
 from .ops.msa_batch import star_msa_round
 from .ops.partition import (
     combine_walks,
+    hoist_coords,
     partition_walk_left,
     partition_walk_right,
 )
@@ -755,16 +756,15 @@ class Engine:
             dp, chains = read_chains[ri]
             for ci, ch in enumerate(chains):
                 chain_objs[(ri, ci)] = ch
+                coords = hoist_coords(dp, ch)
                 for side, walk in (
                     (0, partition_walk_left),
                     (1, partition_walk_right),
                 ):
                     walkers.append(
-                        _collect_gen(
-                            walk(
-                                bseqs[ri], len(rec.seq), dp, ch,
-                                mtp.k, mtp.max_div,
-                            )
+                        walk(
+                            bseqs[ri], len(rec.seq), dp, ch,
+                            mtp.k, mtp.max_div, coords,
                         )
                     )
                     walker_meta.append((ri, ci, side))
@@ -850,12 +850,6 @@ class _BufferResult:
 
 def _chain_consensus_gen(seq_len, bseq, par_pos, result, mtp):
     yield from seqs_msa_gen(seq_len, bseq, par_pos, result, mtp)
-
-
-def _collect_gen(gen):
-    """Wrap a value-returning generator so its return value is captured."""
-    ret = yield from gen
-    return ret
 
 
 def _drive_collect(gens, resolver, holder: Dict[int, object]) -> None:

@@ -19,7 +19,7 @@ rounds of requests with one batched Pallas kernel call per length bucket.
 
 from __future__ import annotations
 
-from typing import Generator, List, Tuple
+from typing import Generator, List, Optional, Tuple
 
 import numpy as np
 
@@ -30,6 +30,15 @@ AlignReq = Tuple[np.ndarray, np.ndarray, int]   # (query, target, q_left_ext)
 AlignRes = Tuple[int, int]                       # (iden_n, t_left_ext)
 
 
+def hoist_coords(dp: DpGrid, ch: Chain) -> Tuple[List[int], List[int]]:
+    """Chain cell coordinates as plain-int lists: the walks below touch
+    O(cells) entries and numpy scalar indexing costs ~1 us each — this
+    was the single largest host cost per read. Callers driving both walk
+    halves hoist once and share."""
+    cells = np.asarray(ch.cells)
+    return dp.start[cells].tolist(), dp.end[cells].tolist()
+
+
 def partition_walk_left(
     bseq: np.ndarray,
     seq_len: int,
@@ -37,6 +46,7 @@ def partition_walk_left(
     ch: Chain,
     k: int,
     max_div: float,
+    coords: Optional[Tuple[List[int], List[int]]] = None,
 ) -> Generator[AlignReq, AlignRes, List[int]]:
     """Left half of the partition walk (partition.c:186-224); returns the
     positions found walking left of the representative anchor, in
@@ -46,12 +56,7 @@ def partition_walk_left(
     est_ch_i = ch.est_ch_i
     est_start = ch.est_start
     est_period = ch.est_period
-    # hoist the cells' coordinates into plain-int lists once: the walk
-    # below touches O(cells) entries and numpy scalar indexing costs ~1 us
-    # each — this loop was the single largest host cost per read
-    cells = np.asarray(ch.cells)
-    starts = dp.start[cells].tolist()
-    ends = dp.end[cells].tolist()
+    starts, ends = coords if coords is not None else hoist_coords(dp, ch)
     first_end = ends[0]
     par_pos: List[int] = []
 
@@ -98,15 +103,13 @@ def partition_walk_right(
     ch: Chain,
     k: int,
     max_div: float,
+    coords: Optional[Tuple[List[int], List[int]]] = None,
 ) -> Generator[AlignReq, AlignRes, List[int]]:
     """Right half of the partition walk (partition.c:236-273)."""
     est_ch_i = ch.est_ch_i
     est_start = ch.est_start
     est_period = ch.est_period
-    # plain-int hoist (see partition_walk_left)
-    cells = np.asarray(ch.cells)
-    starts = dp.start[cells].tolist()
-    ends = dp.end[cells].tolist()
+    starts, ends = coords if coords is not None else hoist_coords(dp, ch)
     last_start = starts[-1]
     n_cells = len(starts)
     par_pos: List[int] = []
