@@ -42,6 +42,7 @@ class InstantAligner:
     only the host cost is being measured."""
 
     use_wavefront = False
+    host_aln_cap = 192   # sync native walk path reads this off the aligner
 
     def run_global(self, reqs, scores=None):
         return [

@@ -134,6 +134,11 @@ class BatchAligner:
             self.wf = None
         self.kmod = kmod
         self.max_len = self.buckets[-1]
+        # requests at or below this size (both sides) resolve host-side in
+        # native C; 0 disables. Default covers the partition walk's window
+        # distribution while keeping unit-scale work (aveMatch, ext) on
+        # the device.
+        self.host_aln_cap = int(os.environ.get("TH_HOST_ALN_CAP", "192"))
 
     def _bucket(self, n: int) -> Optional[int]:
         for b in self.buckets:
@@ -191,15 +196,47 @@ class BatchAligner:
     def run_global(self, reqs, scores=KSW2_SCORES):
         """reqs: [(q, t, qle)] -> [(iden_n, t_left_ext)].
 
-        One wavefront kernel call per length bucket (any batch size), all
-        buckets' results concatenated ON DEVICE and pulled in a single
-        host transfer — round trips cost ~25 ms on this platform."""
+        Small requests (<= host_aln_cap a side) resolve host-side in
+        native C (ops/ksw2_native.py, oracle-bit-exact): the partition
+        walk's alignments are tiny (~34 bp mean) and sequential per
+        chain, so a ~25 ms device round per walk step bought a ~2 us DP.
+        The remainder takes one wavefront kernel call per length bucket,
+        all buckets' results concatenated ON DEVICE and pulled in a
+        single host transfer."""
         out: List = [None] * len(reqs)
+        if scores == KSW2_SCORES:
+            from .ops.ksw2_native import available, global_tleft_batch
+
+            if available():
+                cap = self.host_aln_cap
+                small = [
+                    i for i, r in enumerate(reqs)
+                    if max(len(r[0]), len(r[1])) <= cap
+                ]
+                if small:
+                    METRICS.add("host_aln", len(small))
+                    with METRICS.timed("host_aln"):
+                        res = global_tleft_batch(
+                            [reqs[i] for i in small])
+                    for i, r in zip(small, res):
+                        out[i] = r
+                    if len(small) == len(reqs):
+                        return out
+                    keep = [i for i in range(len(reqs)) if out[i] is None]
+                    sub = self.run_global([reqs[i] for i in keep], scores)
+                    for i, r in zip(keep, sub):
+                        out[i] = r
+                    return out
         groups, host = self._grouped(reqs)
         for i in host:
             q, t, qle = reqs[i]
-            iden, cig = ksw2.global_with_cigar(q, t)
-            out[i] = (iden, ksw2.backtrack_left_end(cig, qle))
+            from .ops.ksw2_native import available, global_tleft_batch
+
+            if available():
+                out[i] = global_tleft_batch([reqs[i]])[0]
+            else:
+                iden, cig = ksw2.global_with_cigar(q, t)
+                out[i] = (iden, ksw2.backtrack_left_end(cig, qle))
         if self.use_wavefront:
             import jax.numpy as jnp
 
@@ -746,38 +783,67 @@ class Engine:
         chunk, bseqs, read_chains = prepared
         results = [TandemResult() for _ in chunk]
 
-        # stage 2: partition walks, batched breadth-first. The left and
-        # right halves of each chain's walk are independent, so both run
-        # as separate walkers — halving the stage's sequential round count.
+        # stage 2: partition walks. The walk's alignments are tiny
+        # (anchor-gap sized, ~34 bp mean on the headline workload), so
+        # when the native small-alignment kernel is available each walk
+        # resolves SYNCHRONOUSLY on the host — zero device rounds for the
+        # whole stage (a breadth-first device drive here costs one ~25 ms
+        # round trip per walk step). A walker that yields an oversize
+        # request defers, mid-walk, to the batched breadth-first device
+        # drive (left/right halves stay independent walkers there).
+        from .ops.ksw2_native import available as _native_ok
+        from .ops.ksw2_native import global_tleft_one
+
+        use_native = _native_ok()
+        cap = self.aligner.host_aln_cap
         walkers = []
         walker_meta = []
+        halves: Dict[Tuple[int, int, int], List[int]] = {}
         chain_objs: Dict[Tuple[int, int], object] = {}
-        for ri, rec in enumerate(chunk):
-            dp, chains = read_chains[ri]
-            for ci, ch in enumerate(chains):
-                chain_objs[(ri, ci)] = ch
-                coords = hoist_coords(dp, ch)
-                for side, walk in (
-                    (0, partition_walk_left),
-                    (1, partition_walk_right),
-                ):
-                    walkers.append(
-                        walk(
+        with METRICS.timed("partition"):
+            for ri, rec in enumerate(chunk):
+                dp, chains = read_chains[ri]
+                for ci, ch in enumerate(chains):
+                    chain_objs[(ri, ci)] = ch
+                    coords = hoist_coords(dp, ch)
+                    for side, walk in (
+                        (0, partition_walk_left),
+                        (1, partition_walk_right),
+                    ):
+                        key = (ri, ci, side)
+                        gen = walk(
                             bseqs[ri], len(rec.seq), dp, ch,
                             mtp.k, mtp.max_div, coords,
                         )
-                    )
-                    walker_meta.append((ri, ci, side))
-        halves: Dict[Tuple[int, int, int], List[int]] = {}
-        holder: Dict[int, List[int]] = {}
+                        if not use_native:
+                            walkers.append(gen)
+                            walker_meta.append(key)
+                            continue
+                        n_aln = 0
+                        try:
+                            req = gen.send(None)
+                            while True:
+                                q_, t_, qle_ = req
+                                if max(len(q_), len(t_)) > cap:
+                                    walkers.append(_resume_walk(gen, req))
+                                    walker_meta.append(key)
+                                    break
+                                n_aln += 1
+                                req = gen.send(
+                                    global_tleft_one(q_, t_, qle_))
+                        except StopIteration as stop:
+                            halves[key] = stop.value
+                            METRICS.add("host_aln", n_aln)
 
-        def resolve_global(reqs):
-            return self.aligner.run_global(reqs)
+            holder: Dict[int, List[int]] = {}
 
-        with METRICS.timed("partition"):
-            _drive_collect(walkers, resolve_global, holder)
-        for wi, key in enumerate(walker_meta):
-            halves[key] = holder.get(wi)
+            def resolve_global(reqs):
+                return self.aligner.run_global(reqs)
+
+            if walkers:
+                _drive_collect(walkers, resolve_global, holder)
+            for wi, key in enumerate(walker_meta):
+                halves[key] = holder.get(wi)
         par_results: Dict[Tuple[int, int], List[int]] = {}
         for (ri, ci), ch in chain_objs.items():
             par_results[(ri, ci)] = combine_walks(
@@ -850,6 +916,20 @@ class _BufferResult:
 
 def _chain_consensus_gen(seq_len, bseq, par_pos, result, mtp):
     yield from seqs_msa_gen(seq_len, bseq, par_pos, result, mtp)
+
+
+def _resume_walk(gen, first_req):
+    """Adapter for a generator already advanced to its first request:
+    re-yields that request, then delegates (used when a synchronously
+    resolved walk hits an oversize alignment and defers to the batched
+    device drive)."""
+    res = yield first_req
+    while True:
+        try:
+            req = gen.send(res)
+        except StopIteration as stop:
+            return stop.value
+        res = yield req
 
 
 def _drive_collect(gens, resolver, holder: Dict[int, object]) -> None:

@@ -16,7 +16,8 @@ import sys
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_DIR, "chainx.c"), os.path.join(_DIR, "seedx.c")]
+_SRCS = [os.path.join(_DIR, "chainx.c"), os.path.join(_DIR, "seedx.c"),
+         os.path.join(_DIR, "alignx.c")]
 _LIB = os.path.join(_DIR, "libchainx.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -62,5 +63,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.th_seed.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                             ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
                             i64p, i64p]
+    lib.th_global_tleft_batch.restype = None
+    lib.th_global_tleft_batch.argtypes = [u8p, i64p, i64p, u8p, i64p, i64p,
+                                          i64p, ctypes.c_int64, i64p, i64p]
+    lib.th_global_tleft.restype = ctypes.c_int64
+    lib.th_global_tleft.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int64]
     _lib = lib
     return _lib

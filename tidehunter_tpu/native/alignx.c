@@ -1,0 +1,205 @@
+/* Small-window global affine alignment — native host kernel.
+ *
+ * Exact-semantics implementation of the (iden_n, t_left_ext) contract of
+ * ops/ksw2.py global_with_cigar + backtrack_left_end (the NumPy oracle of
+ * reference ksw2/ksw2_extz2_sse.c:26-303 + src/ksw2_align.c:88-151),
+ * written against that oracle's arithmetic: the Suzuki-Kasahara difference
+ * recurrence over anti-diagonals with the reference's direction-byte
+ * tie-breaks (diagonal beats E on ties, E beats F), cell clamp
+ * z <= MAX_SC, the ksw_backtrack is_rot=1 state machine, M-run identity
+ * counting, and the right-to-left split projection (q_left_ext query
+ * bases consumed -> target bases crossed).
+ *
+ * Why host-side: the partition walk's alignments are TINY (mean ~34 bp,
+ * max ~100 on the headline workload) and strictly sequential per chain —
+ * a device dispatch round costs ~25 ms on this platform while the whole
+ * 34x34 DP is ~2 us of scalar C. Routing them here removes EVERY
+ * partition-stage device round trip; the TPU keeps the large batched DP
+ * (MSA, aveMatch identities, boundary extensions).
+ *
+ * Scoring is the reference's hard-coded model (src/ksw2_align.c:11-17):
+ * match +1, mismatch -2, gap open 2, gap ext 1, N-vs-anything -1.
+ *
+ * Build: compiled into libchainx.so next to chainx.c (native/__init__.py).
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define MATCH_SC 1
+#define MIS_SC (-2)
+#define GAP_OPEN 2
+#define GAP_EXT 1
+#define SC_N (-GAP_EXT)
+#define QE (GAP_OPEN + GAP_EXT)
+#define QE2 (2 * QE)
+#define MAX_SC (MATCH_SC + QE2)
+
+/* One alignment: fills *iden (identical bases along M runs) and *tleft
+ * (target bases consumed walking the cigar right-to-left through qle
+ * query bases; qle > qlen mirrors the device kernel: tleft = tlen).
+ * scratch: caller-provided, at least
+ *   4*tlen*4 bytes (u,v,x,y int32) + (qlen+tlen-1)*tlen bytes (p). */
+static void one_global(
+    const uint8_t *q, int64_t qlen, const uint8_t *t, int64_t tlen,
+    int64_t qle, uint8_t *scratch, int64_t *iden_out, int64_t *tleft_out)
+{
+    if (qlen <= 0 || tlen <= 0) {
+        *iden_out = 0;
+        *tleft_out = qle > qlen ? (tlen > 0 ? tlen : 0) : 0;
+        return;
+    }
+    int32_t *u = (int32_t *)scratch;
+    int32_t *v = u + tlen;
+    int32_t *x = v + tlen;
+    int32_t *y = x + tlen;
+    uint8_t *p = (uint8_t *)(y + tlen);
+    memset(u, 0, 4 * tlen * 4);
+    int64_t n_rows = qlen + tlen - 1;
+
+    for (int64_t r = 0; r < n_rows; ++r) {
+        int64_t st0 = r - qlen + 1 > 0 ? r - qlen + 1 : 0;
+        int64_t en0 = r < tlen - 1 ? r : tlen - 1;
+        if (en0 == r) {              /* brand-new diagonal cell boundary */
+            y[r] = 0;
+            u[r] = r ? GAP_OPEN : 0;
+        }
+        /* previous-row (t-1) neighbors enter via carried temporaries */
+        int32_t xm1, vm1;
+        if (st0 == 0) {
+            xm1 = 0;
+            vm1 = r ? GAP_OPEN : 0;
+        } else {
+            xm1 = x[st0 - 1];
+            vm1 = v[st0 - 1];
+        }
+        uint8_t *pr = p + r * tlen;
+        for (int64_t ti = st0; ti <= en0; ++ti) {
+            uint8_t tb = t[ti], qb = q[r - ti];
+            int32_t s = (tb == 4 || qb == 4) ? SC_N
+                        : (tb == qb ? MATCH_SC : MIS_SC);
+            int32_t a = xm1 + vm1;
+            int32_t b = y[ti] + u[ti];
+            int32_t z = s + QE2;
+            uint8_t d = a > z;
+            if (a > z) z = a;
+            if (b > z) { d = 2; z = b; }
+            if (z > MAX_SC) z = MAX_SC;
+            int32_t u_old = u[ti];
+            int32_t x_old = x[ti], v_old = v[ti];
+            u[ti] = z - vm1;
+            v[ti] = z - u_old;
+            int32_t z2 = z - GAP_OPEN;
+            int32_t a2 = a - z2, b2 = b - z2;
+            x[ti] = a2 > 0 ? a2 : 0;
+            y[ti] = b2 > 0 ? b2 : 0;
+            if (a2 > 0) d |= 0x08;
+            if (b2 > 0) d |= 0x10;
+            pr[ti] = d;
+            xm1 = x_old;
+            vm1 = v_old;
+        }
+    }
+
+    /* backtrack (ksw2/ksw2.h:119-152, is_rot=1), fused with identity
+     * counting and the right-to-left qle projection (src/ksw2_align.c:
+     * 62-115).  Step-wise t_left rule (equivalent to the per-run walk):
+     * entering any query-consuming step with q_remain == 0 returns; an M
+     * step then consumes one of each and returns when q_remain hits 0
+     * (its target INcluded); an I step consumes query only and returns
+     * when q_remain hits 0 (target EXcluded); D steps accumulate. */
+    int64_t iden = 0;
+    int64_t tleft = 0;
+    int tleft_set = 0;
+    int64_t q_remain = qle;
+    if (qle > qlen) {
+        tleft = tlen;
+        tleft_set = 1;
+    } else if (qle <= 0) {
+        q_remain = 0;                 /* trailing-D count semantics */
+    }
+    int64_t i = tlen - 1, j = qlen - 1;
+    int state = 0;
+    while (i >= 0 && j >= 0) {
+        int tmp = p[(i + j) * tlen + i];
+        if (state == 0) state = tmp & 7;
+        else if (!((tmp >> (state + 2)) & 1)) state = 0;
+        if (state == 0) state = tmp & 7;
+        if (state == 0) {             /* M: consumes query + target */
+            if (!tleft_set) {
+                if (q_remain == 0) tleft_set = 1;
+                else {
+                    --q_remain;
+                    ++tleft;
+                    if (q_remain == 0) tleft_set = 1;
+                }
+            }
+            if (q[j] == t[i]) ++iden;
+            --i;
+            --j;
+        } else if (state == 1) {      /* D: consumes target */
+            if (!tleft_set) ++tleft;
+            --i;
+        } else {                      /* I: consumes query */
+            if (!tleft_set) {
+                if (q_remain == 0) tleft_set = 1;
+                else {
+                    --q_remain;
+                    if (q_remain == 0) tleft_set = 1;
+                }
+            }
+            --j;
+        }
+    }
+    if (i >= 0 && !tleft_set)         /* leftmost boundary D run */
+        tleft += i + 1;
+    if (j >= 0 && !tleft_set) {       /* leftmost boundary I run */
+        if (j + 1 >= q_remain) tleft_set = 1;
+        else tleft = tlen;            /* q_remain unmatched: kernel rule */
+    }
+    *iden_out = iden;
+    *tleft_out = tleft;
+}
+
+/* Single-request entry: returns (iden << 20) | (tleft + 1) packed (tleft
+ * fits: windows are bounded by the caller's host cap; -1 never occurs).
+ * The scratch mallocs per call (~100 ns — thread-safe, negligible vs the
+ * DP). */
+int64_t th_global_tleft(
+    const uint8_t *q, int64_t qlen, const uint8_t *t, int64_t tlen,
+    int64_t qle)
+{
+    int64_t iden = 0, tleft = 0;
+    if (qlen > 0 && tlen > 0) {
+        int64_t sz = 4 * tlen * 4 + (qlen + tlen - 1) * tlen;
+        uint8_t *scratch = (uint8_t *)malloc(sz);
+        one_global(q, qlen, t, tlen, qle, scratch, &iden, &tleft);
+        free(scratch);
+    } else {
+        one_global(q, qlen, t, tlen, qle, NULL, &iden, &tleft);
+    }
+    return (iden << 20) | (tleft + 1);
+}
+
+/* Batch entry: sequences packed into one byte buffer per side, items
+ * addressed by (offset, length); answers land in iden[]/tleft[]. */
+void th_global_tleft_batch(
+    const uint8_t *qbuf, const int64_t *qoff, const int64_t *qlen,
+    const uint8_t *tbuf, const int64_t *toff, const int64_t *tlen,
+    const int64_t *qle, int64_t n, int64_t *iden, int64_t *tleft)
+{
+    /* one scratch allocation sized for the largest item */
+    int64_t need = 0;
+    for (int64_t it = 0; it < n; ++it) {
+        int64_t ql = qlen[it], tl = tlen[it];
+        if (ql <= 0 || tl <= 0) continue;
+        int64_t sz = 4 * tl * 4 + (ql + tl - 1) * tl;
+        if (sz > need) need = sz;
+    }
+    uint8_t *scratch = need ? (uint8_t *)malloc(need) : NULL;
+    for (int64_t it = 0; it < n; ++it)
+        one_global(qbuf + qoff[it], qlen[it], tbuf + toff[it], tlen[it],
+                   qle[it], scratch, &iden[it], &tleft[it]);
+    if (scratch) free(scratch);
+}

@@ -18,13 +18,18 @@
 #include <stdlib.h>
 #include <string.h>
 
-/* LSD radix sort (8-bit digits) of u64 values, low `nbytes` bytes. */
-static void radix_u64(uint64_t *v, uint64_t *tmp, int64_t n, int nbytes)
+/* LSD radix sort (8-bit digits) of u64 values over an explicit ascending
+ * list of byte positions.  A byte position that is constant across the
+ * whole array is a stable identity pass, so callers skip positions that
+ * are provably zero from value bounds (pos < L, period <= max_p, key
+ * < 4^k) — typically halving the pass count. */
+static void radix_u64_bytes(uint64_t *v, uint64_t *tmp, int64_t n,
+                            const int *bytes, int nb)
 {
-    for (int b = 0; b < nbytes; ++b) {
+    for (int bi = 0; bi < nb; ++bi) {
         int64_t cnt[257];
         memset(cnt, 0, sizeof(cnt));
-        int sh = 8 * b;
+        int sh = 8 * bytes[bi];
         for (int64_t i = 0; i < n; ++i)
             cnt[((v[i] >> sh) & 0xFF) + 1]++;
         for (int i = 0; i < 256; ++i)
@@ -33,8 +38,14 @@ static void radix_u64(uint64_t *v, uint64_t *tmp, int64_t n, int nbytes)
             tmp[cnt[(v[i] >> sh) & 0xFF]++] = v[i];
         uint64_t *t = v; v = tmp; tmp = t;
     }
-    if (nbytes & 1)
+    if (nb & 1)
         memcpy(tmp, v, n * 8);   /* odd passes: result sits in caller's tmp */
+}
+
+static int val_bytes(uint64_t maxval)
+{
+    if (maxval == 0) return 0;
+    return (64 - __builtin_clzll(maxval) + 7) / 8;
 }
 
 /* out_ends/out_periods caps: L entries. Returns hit count. */
@@ -85,9 +96,17 @@ int64_t th_seed(
         free(seeds);
         return 0;
     }
-    /* 3. sort seeds by (key, pos) — 48+2k bits, low 32 = pos */
+    /* 3. sort seeds by (key, pos) — low 32 = pos (< L), high = key
+     * (< 4^k): only the byte positions those bounds can populate */
     uint64_t *tmp = (uint64_t *)malloc(ns * 8);
-    radix_u64(seeds, tmp, ns, (int)((32 + 2 * k + 7) / 8));
+    {
+        int bytes[12], nb = 0;
+        int np = val_bytes((uint64_t)(L - 1));
+        int nk = (int)((2 * k + 7) / 8);
+        for (int b = 0; b < np; ++b) bytes[nb++] = b;
+        for (int b = 0; b < nk; ++b) bytes[nb++] = 4 + b;
+        radix_u64_bytes(seeds, tmp, ns, bytes, nb);
+    }
     /* 4. per occurrence: nearest earlier same-key occurrence >= min_p */
     uint64_t *hits = tmp;            /* reuse */
     int64_t nh = 0;
@@ -122,9 +141,17 @@ int64_t th_seed(
         free(tmp);
         return 0;
     }
-    /* 5. sort hits by (end, period): low 32 = period */
+    /* 5. sort hits by (end, period): low 32 = period (<= max_p), high =
+     * end (< L) */
     uint64_t *tmp2 = seeds;          /* reuse */
-    radix_u64(hits, tmp2, nh, 8);
+    {
+        int bytes[12], nb = 0;
+        int npd = val_bytes((uint64_t)max_p);
+        int ne = val_bytes((uint64_t)(L - 1));
+        for (int b = 0; b < npd; ++b) bytes[nb++] = b;
+        for (int b = 0; b < ne; ++b) bytes[nb++] = 4 + b;
+        radix_u64_bytes(hits, tmp2, nh, bytes, nb);
+    }
     for (int64_t i = 0; i < nh; ++i) {
         out_ends[i] = (int64_t)(hits[i] >> 32);
         out_periods[i] = (int64_t)(uint32_t)hits[i];
