@@ -40,7 +40,6 @@ from .ops.chaining_native import tandem_chain_from_dp, tandem_chain_native
 from .ops.msa_batch import star_msa_round
 from .ops.partition import (
     combine_walks,
-    hoist_coords,
     partition_walk_left,
     partition_walk_right,
 )
@@ -461,6 +460,7 @@ class Engine:
         )
         self._pool = None
         self._pool_n = 0
+        self._gx_pool = None
         _register_engine(self)
 
     # --- request resolution ---
@@ -513,8 +513,21 @@ class Engine:
                 gflat.extend(gpairs)
                 espans.append((len(eflat), len(epairs)))
                 eflat.extend(epairs)
-            gres = self.aligner.run_giden(gflat)
-            eres = self.aligner.run_ext(eflat)
+            if self.aligner.use_wavefront and gflat and eflat:
+                # overlap the two device rounds: dispatch + pull of the
+                # identity batch would otherwise serialize ahead of the
+                # extension batch's dispatch (device waits release the
+                # GIL, so two host threads pipeline the pulls)
+                if self._gx_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    self._gx_pool = ThreadPoolExecutor(max_workers=2)
+                fg = self._gx_pool.submit(self.aligner.run_giden, gflat)
+                fe = self._gx_pool.submit(self.aligner.run_ext, eflat)
+                gres, eres = fg.result(), fe.result()
+            else:
+                gres = self.aligner.run_giden(gflat)
+                eres = self.aligner.run_ext(eflat)
             for i, (glo, gn), (elo, en) in zip(idxs, gspans, espans):
                 out[i] = (gres[glo:glo + gn], eres[elo:elo + en])
         if "exts" in by_kind:
@@ -773,6 +786,9 @@ class Engine:
             self._pool.shutdown(wait=False)
             self._pool = None
             self._pool_n = 0
+        if self._gx_pool is not None:
+            self._gx_pool.shutdown(wait=False)
+            self._gx_pool = None
 
     def process_chunk(self, chunk, mtp: Params) -> List[TandemResult]:
         return self.finish_chunk(self.prepare_chunk(chunk, mtp), mtp)
@@ -792,7 +808,7 @@ class Engine:
         # request defers, mid-walk, to the batched breadth-first device
         # drive (left/right halves stay independent walkers there).
         from .ops.ksw2_native import available as _native_ok
-        from .ops.ksw2_native import global_tleft_one
+        from .ops.ksw2_native import global_tleft_one, walk_right_native
 
         use_native = _native_ok()
         cap = self.aligner.host_aln_cap
@@ -805,7 +821,25 @@ class Engine:
                 dp, chains = read_chains[ri]
                 for ci, ch in enumerate(chains):
                     chain_objs[(ri, ci)] = ch
-                    coords = hoist_coords(dp, ch)
+                    cells = np.asarray(ch.cells)
+                    starts_a = dp.start[cells]
+                    ends_a = dp.end[cells]
+                    if use_native and ch.est_ch_i == 0:
+                        # whole walk in C. The left half is provably
+                        # empty when est_ch_i == 0 (partition.py:59 loop
+                        # guard) — the live pipeline's only case
+                        # (reference src/tandem_chain.c:398).
+                        pos = walk_right_native(
+                            bseqs[ri], starts_a, ends_a,
+                            ch.est_start, ch.est_period,
+                            mtp.k, mtp.max_div, cap,
+                        )
+                        if pos is not None:
+                            halves[(ri, ci, 0)] = []
+                            halves[(ri, ci, 1)] = pos
+                            METRICS.add("walk_native")
+                            continue
+                    coords = (starts_a.tolist(), ends_a.tolist())
                     for side, walk in (
                         (0, partition_walk_left),
                         (1, partition_walk_right),

@@ -70,5 +70,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.th_global_tleft.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                     ctypes.c_void_p, ctypes.c_int64,
                                     ctypes.c_int64]
+    lib.th_walk_right.restype = ctypes.c_int64
+    lib.th_walk_right.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_double, ctypes.c_int64,
+                                  ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib

@@ -182,6 +182,92 @@ int64_t th_global_tleft(
     return (iden << 20) | (tleft + 1);
 }
 
+/* Whole right-hand partition walk (reference src/partition.c:236-273;
+ * exact port of the ops/partition.py partition_walk_right generator with
+ * the alignments resolved inline by one_global).  The walk's Python scan
+ * touches O(cells) entries per step (~1600 cells/chain on the headline
+ * workload) — in C the whole stage is ~50 us/read.
+ *
+ * Returns the number of positions written to out, or -1 when the walk
+ * must be redone by the generic path: an alignment window exceeding
+ * `cap`, an out-of-bounds window, more than 4n+64 steps, or an out
+ * buffer overflow.  The left walk is trivially empty in the live
+ * pipeline (est_ch_i == 0 always: src/tandem_chain.c:398 set_start_period
+ * is the only est setter called), so only the right walk is ported. */
+int64_t th_walk_right(
+    const uint8_t *bseq, int64_t slen,
+    const int64_t *starts, const int64_t *ends, int64_t n,
+    int64_t est_start, int64_t est_period,
+    int64_t k, double max_div, int64_t cap,
+    int64_t *out, int64_t out_cap)
+{
+    if (n < 1)
+        return 0;
+    double thr_c = 1.0 - max_div;
+    int64_t last_start = starts[n - 1];
+    int64_t np_ = 0;
+    int64_t ch_i = 0, s = est_start, e = est_start + est_period;
+    int64_t steps = 0, max_steps = 4 * n + 64;
+    uint8_t *scratch =
+        (uint8_t *)malloc(4 * cap * 4 + (2 * cap - 1) * cap);
+    if (!scratch)
+        return -1;
+    while (ch_i < n - 1 && e <= last_start) {
+        if (++steps > max_steps)
+            goto fail;
+        int64_t s1 = s, e1 = e;
+        int event = 0;
+        for (int64_t i = ch_i + 1; i < n; ++i) {
+            int64_t s2 = starts[i], e2 = ends[i];
+            if (s2 == e) {                    /* anchors abut: free split */
+                if (np_ + 1 > out_cap)
+                    goto fail;
+                out[np_++] = e2;
+                ch_i = i; s = s2; e = e2;
+                event = 1;
+                break;
+            } else if (s2 > e) {              /* align the flanking windows */
+                int64_t qlen = s2 - s1 + k, tlen = e2 - e1 + k;
+                int64_t qoff = s1 - k + 1, toff = e1 - k + 1;
+                if (qlen > cap || tlen > cap || qlen < 1 || tlen < 1 ||
+                    qoff < 0 || toff < 0 ||
+                    qoff + qlen > slen || toff + tlen > slen)
+                    goto fail;
+                int64_t iden, tl;
+                one_global(bseq + qoff, qlen, bseq + toff, tlen, s2 - e,
+                           scratch, &iden, &tl);
+                int64_t mn = qlen < tlen ? qlen : tlen;
+                if ((double)iden >= (double)mn * thr_c) {
+                    s = e;
+                    int64_t e_new = e2 - tl;
+                    if (e_new == s) { ch_i = n; event = 1; break; }
+                    e = e_new;
+                    if (np_ + 1 > out_cap)
+                        goto fail;
+                    out[np_++] = e;
+                    ch_i = i - 1;             /* reference quirk: rescan i */
+                } else {                      /* separator + restart */
+                    if (np_ + 3 > out_cap)
+                        goto fail;
+                    out[np_++] = -1; out[np_++] = s2; out[np_++] = e2;
+                    ch_i = i; s = s2; e = e2;
+                }
+                event = 1;
+                break;
+            } else {                          /* passed cell */
+                s1 = s2; e1 = e2;
+            }
+        }
+        if (!event)
+            break;     /* scan exhausted => e > last_start next check */
+    }
+    free(scratch);
+    return np_;
+fail:
+    free(scratch);
+    return -1;
+}
+
 /* Batch entry: sequences packed into one byte buffer per side, items
  * addressed by (offset, length); answers land in iden[]/tleft[]. */
 void th_global_tleft_batch(

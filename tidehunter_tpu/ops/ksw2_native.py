@@ -18,6 +18,13 @@ import numpy as np
 from ..native import get_lib
 from . import ksw2
 
+__all__ = [
+    "available",
+    "global_tleft_batch",
+    "global_tleft_one",
+    "walk_right_native",
+]
+
 _fn = None
 _fn1 = None
 _checked = False
@@ -88,6 +95,44 @@ def global_tleft_batch(
         iden.ctypes.data_as(i64p), tleft.ctypes.data_as(i64p),
     )
     return [(int(iden[i]), int(tleft[i])) for i in range(n)]
+
+
+def walk_right_native(
+    bseq: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    est_start: int,
+    est_period: int,
+    k: int,
+    max_div: float,
+    cap: int,
+) -> Optional[List[int]]:
+    """Whole right-hand partition walk in C (alignments resolved inline).
+    Returns the par_pos right-half list, or None when the walk must fall
+    back to the generic generator path (oversize window / step or buffer
+    cap). Bit-exact with ops/partition.partition_walk_right resolved by
+    the oracle — pinned by tests/test_ksw2_native.py."""
+    if not available():
+        return None
+    lib = get_lib()
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    bseq = np.ascontiguousarray(bseq, np.uint8)
+    # real walks append ~10-20 positions; 4096 covers any plausible read
+    # (a -1 overflow return falls back to the generator path, which is
+    # exact at any size)
+    out_cap = min(3 * (4 * n + 64), 4096)
+    out = np.empty(out_cap, np.int64)
+    got = lib.th_walk_right(
+        bseq.ctypes.data, len(bseq),
+        starts.ctypes.data, ends.ctypes.data, n,
+        est_start, est_period, k, float(max_div), cap,
+        out.ctypes.data, out_cap,
+    )
+    if got < 0:
+        return None
+    return out[:got].tolist()
 
 
 def _oracle_one(q: np.ndarray, t: np.ndarray, qle: int) -> Tuple[int, int]:
