@@ -673,7 +673,13 @@ class Engine:
             read_chains[ri] = tandem_chain_native(ends, periods, mtp.k)
 
         with METRICS.timed("seed_chain"):
-            n_workers = max(1, int(getattr(mtp, "n_thread", 1) or 1))
+            # -t keeps the reference's CLI default (4), but threads only
+            # help up to the physical core count — on the 1-core TPU host
+            # VM a pool is pure dispatch overhead
+            n_workers = max(1, min(
+                int(getattr(mtp, "n_thread", 1) or 1),
+                os.cpu_count() or 1,
+            ))
             if n_workers > 1 and len(chunk) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
