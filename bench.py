@@ -98,8 +98,11 @@ def main() -> int:
 
     mtp = Params()
     # production path: pipelined runner (chunk N+1's host seed/chain
-    # overlaps chunk N's device rounds), streaming IO + serialization
-    mtp.chunk_read_n = max(64, n_reads // 2)
+    # overlaps chunk N's device rounds), streaming IO + serialization.
+    # BENCH_CHUNK overrides for chunk-size sweeps.
+    mtp.chunk_read_n = int(
+        os.environ.get("BENCH_CHUNK", "0")
+    ) or max(64, n_reads // 2)
     engine = make_engine(mtp, platform="tpu")
 
     fa = tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False)

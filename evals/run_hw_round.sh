@@ -1,0 +1,35 @@
+#!/bin/bash
+# Hardware measurement round: run after the TPU tunnel is confirmed up
+# (python -c "import jax; print(jax.devices())" returns an axon device).
+# Produces, under evals/hw_r03/:
+#   bench.log        headline bench + tpu_smoke + stage/Gcell attribution
+#   chunk_sweep.log  chunk-size sensitivity (1024-read workload)
+#   sweep.log        full 15-config x 1000-read paper accuracy protocol
+#   testfq.log       real-ONT (test.fq) steady-state timing
+# Each step is independently resumable; a dead tunnel mid-run leaves the
+# completed logs in place.
+set -u
+cd "$(dirname "$0")/.."
+OUT=evals/hw_r03
+mkdir -p "$OUT"
+
+echo "== bench (1024 reads, default chunk; includes tpu_smoke) =="
+python bench.py >"$OUT/bench.json" 2>"$OUT/bench.log"
+tail -5 "$OUT/bench.log"; cat "$OUT/bench.json"
+
+echo "== chunk sweep (tpu_smoke skipped; warmed cache per process) =="
+for c in 256 512 1024; do
+  echo "--- chunk=$c ---" | tee -a "$OUT/chunk_sweep.log"
+  TH_SKIP_TPU_SMOKE=1 BENCH_CHUNK=$c python bench.py \
+    2>>"$OUT/chunk_sweep.log" | tee -a "$OUT/chunk_sweep.log"
+done
+
+echo "== 15-config accuracy sweep (1000 reads/config) =="
+python evals/accuracy.py --reads 1000 --device tpu \
+  2>&1 | tee "$OUT/sweep.log"
+
+echo "== test.fq steady state =="
+( time python -m tidehunter_tpu.cli -f 2 /root/reference/test.fq \
+    -o "$OUT/testfq.out" ) 2>&1 | tee "$OUT/testfq.log"
+
+echo "done; update evals/RESULTS.md from $OUT"
