@@ -816,7 +816,16 @@ class Engine:
         from .ops.ksw2_native import available as _native_ok
         from .ops.ksw2_native import global_tleft_one, walk_right_native
 
-        use_native = _native_ok()
+        # single-chip: resolve walks on the host (a ~25 ms device round
+        # per ~34 bp walk step is the waste). Under a mesh the trade
+        # flips — the 1-core host would serialize all chips' walks while
+        # the breadth-first device drive amortizes each round across the
+        # whole sharded chunk — so walks return to the device there
+        # (override with TH_HOST_WALK=1/0).
+        hw_env = os.environ.get("TH_HOST_WALK", "")
+        use_native = _native_ok() and (
+            hw_env == "1" or (hw_env != "0" and self.mesh is None)
+        )
         cap = self.aligner.host_aln_cap
         walkers = []
         walker_meta = []
