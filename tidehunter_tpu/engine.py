@@ -137,7 +137,11 @@ class BatchAligner:
         # native C; 0 disables. Default covers the partition walk's window
         # distribution while keeping unit-scale work (aveMatch, ext) on
         # the device.
-        self.host_aln_cap = int(os.environ.get("TH_HOST_ALN_CAP", "192"))
+        # clamp: the native single-request pack is (iden << 20)|(tleft+1),
+        # so the target side must stay below 2^20 or the fields collide
+        self.host_aln_cap = min(
+            int(os.environ.get("TH_HOST_ALN_CAP", "192")), (1 << 20) - 2
+        )
 
     def _bucket(self, n: int) -> Optional[int]:
         for b in self.buckets:
@@ -227,15 +231,15 @@ class BatchAligner:
                         out[i] = r
                     return out
         groups, host = self._grouped(reqs)
-        for i in host:
-            q, t, qle = reqs[i]
-            from .ops.ksw2_native import available, global_tleft_batch
+        if host:
+            # over-bucket requests (> max bucket a side): one batched
+            # native call (single pack + one scratch sized to the largest
+            # item) — global_tleft_batch itself falls back to the NumPy
+            # oracle when the native library is absent
+            from .ops.ksw2_native import global_tleft_batch
 
-            if available():
-                out[i] = global_tleft_batch([reqs[i]])[0]
-            else:
-                iden, cig = ksw2.global_with_cigar(q, t)
-                out[i] = (iden, ksw2.backtrack_left_end(cig, qle))
+            for i, r in zip(host, global_tleft_batch([reqs[i] for i in host])):
+                out[i] = r
         if self.use_wavefront:
             import jax.numpy as jnp
 
@@ -746,8 +750,14 @@ class Engine:
             or (dev_chain_env != "0" and self.mesh is not None)
         )
         score = from_idx = fb_c = None
-        max_hits = int(cnt.max()) if n else 0
-        if use_dev_chain and max_hits >= 2 and max_hits <= 8192:
+        # size the hit window from rows the device DP will actually serve:
+        # seed-fallback rows hold garbage counts, and a single oversize row
+        # (> 8192 hits) must reroute to the host chainer alone, not turn
+        # device chaining off for the whole chunk
+        cnt_ok = np.where(fb, 0, cnt)
+        oversize = cnt_ok > 8192
+        max_hits = int(np.where(oversize, 0, cnt_ok).max()) if n else 0
+        if use_dev_chain and max_hits >= 2:
             from .ops.chaining_jax import chain_dp_batch
 
             Lh = 512
@@ -755,12 +765,12 @@ class Engine:
                 Lh *= 2
             with METRICS.timed("device_chain"):
                 score_d, from_d, fbc_d = chain_dp_batch(
-                    ends_d[:, :Lh], periods_d[:, :Lh], cnt_d,
-                    k=mtp.k, window=Lh,
+                    ends_d[:, :Lh], periods_d[:, :Lh],
+                    jnp.minimum(cnt_d, Lh), k=mtp.k, window=Lh,
                 )
                 score = np.asarray(score_d).astype(np.int64)
                 from_idx = np.asarray(from_d).astype(np.int64)
-                fb_c = np.asarray(fbc_d)
+                fb_c = np.asarray(fbc_d) | oversize
 
         ends = np.asarray(ends_d)
         periods = np.asarray(periods_d)

@@ -163,9 +163,11 @@ static void one_global(
 }
 
 /* Single-request entry: returns (iden << 20) | (tleft + 1) packed (tleft
- * fits: windows are bounded by the caller's host cap; -1 never occurs).
- * The scratch mallocs per call (~100 ns — thread-safe, negligible vs the
- * DP). */
+ * fits: windows are bounded by the caller's host cap, which the Python
+ * layer clamps below 2^20; -1 never occurs in the low field).  Returns
+ * -1 on scratch allocation failure (all legit values are >= 0) so the
+ * caller can fall back to its catchable-oracle path.  The scratch
+ * mallocs per call (~100 ns — thread-safe, negligible vs the DP). */
 int64_t th_global_tleft(
     const uint8_t *q, int64_t qlen, const uint8_t *t, int64_t tlen,
     int64_t qle)
@@ -174,6 +176,8 @@ int64_t th_global_tleft(
     if (qlen > 0 && tlen > 0) {
         int64_t sz = 4 * tlen * 4 + (qlen + tlen - 1) * tlen;
         uint8_t *scratch = (uint8_t *)malloc(sz);
+        if (!scratch)
+            return -1;
         one_global(q, qlen, t, tlen, qle, scratch, &iden, &tleft);
         free(scratch);
     } else {
@@ -269,13 +273,17 @@ fail:
 }
 
 /* Batch entry: sequences packed into one byte buffer per side, items
- * addressed by (offset, length); answers land in iden[]/tleft[]. */
+ * addressed by (offset, length); answers land in iden[]/tleft[].  Items
+ * whose O((qlen+tlen)*tlen) scratch cannot be allocated get iden = -1
+ * (legit idens are >= 0) so the caller reroutes them to its
+ * catchable-oracle path instead of dereferencing NULL. */
 void th_global_tleft_batch(
     const uint8_t *qbuf, const int64_t *qoff, const int64_t *qlen,
     const uint8_t *tbuf, const int64_t *toff, const int64_t *tlen,
     const int64_t *qle, int64_t n, int64_t *iden, int64_t *tleft)
 {
-    /* one scratch allocation sized for the largest item */
+    /* one scratch allocation sized for the largest item; if that fails,
+     * retry per-item so one oversize request can't starve the rest */
     int64_t need = 0;
     for (int64_t it = 0; it < n; ++it) {
         int64_t ql = qlen[it], tl = tlen[it];
@@ -284,8 +292,21 @@ void th_global_tleft_batch(
         if (sz > need) need = sz;
     }
     uint8_t *scratch = need ? (uint8_t *)malloc(need) : NULL;
-    for (int64_t it = 0; it < n; ++it)
-        one_global(qbuf + qoff[it], qlen[it], tbuf + toff[it], tlen[it],
-                   qle[it], scratch, &iden[it], &tleft[it]);
+    for (int64_t it = 0; it < n; ++it) {
+        int64_t ql = qlen[it], tl = tlen[it];
+        uint8_t *sc = scratch, *own = NULL;
+        if (ql > 0 && tl > 0 && !sc) {
+            own = (uint8_t *)malloc(4 * tl * 4 + (ql + tl - 1) * tl);
+            if (!own) {
+                iden[it] = -1;
+                tleft[it] = 0;
+                continue;
+            }
+            sc = own;
+        }
+        one_global(qbuf + qoff[it], ql, tbuf + toff[it], tl,
+                   qle[it], sc, &iden[it], &tleft[it]);
+        if (own) free(own);
+    }
     if (scratch) free(scratch);
 }

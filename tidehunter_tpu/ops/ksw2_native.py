@@ -47,8 +47,11 @@ def global_tleft_one(q: np.ndarray, t: np.ndarray, qle: int) -> Tuple[int, int]:
     """Single-request fast path: ~5 us of glue (the batch entry's array
     packing costs ~50 us — more than the DP for walk-sized windows).
     Caller guarantees `available()` and contiguous uint8 inputs (bseq
-    slices are)."""
+    slices are).  The 20-bit pack requires len(t) + 1 < 2**20 — guaranteed
+    by the engine's host_aln_cap clamp (engine.py)."""
     packed = _fn1(q.ctypes.data, len(q), t.ctypes.data, len(t), qle)
+    if packed < 0:  # scratch allocation failed in C
+        return _oracle_one(q, t, qle)
     return packed >> 20, (packed & 0xFFFFF) - 1
 
 
@@ -94,7 +97,13 @@ def global_tleft_batch(
         qle.ctypes.data_as(i64p), ctypes.c_int64(n),
         iden.ctypes.data_as(i64p), tleft.ctypes.data_as(i64p),
     )
-    return [(int(iden[i]), int(tleft[i])) for i in range(n)]
+    return [
+        (int(iden[i]), int(tleft[i])) if iden[i] >= 0
+        # iden == -1: the C side could not allocate this item's scratch;
+        # the NumPy oracle raises a catchable MemoryError instead
+        else _oracle_one(*reqs[i])
+        for i in range(n)
+    ]
 
 
 def walk_right_native(
