@@ -111,6 +111,10 @@ def main(argv=None) -> int:
         mtp.only_unit = bool(rng.choice([False, False, True]))
         if rng.random() < 0.3:
             mtp.min_frac = 0.6
+        if rng.random() < 0.2:
+            mtp.only_longest = True
+        if rng.random() < 0.2:
+            mtp.min_len = int(rng.choice([50, 100]))
         mtp.polish = int(rng.choice([0, 0, 1]))
         dev_seed = bool(rng.choice([False, True]))
         dev_chain = bool(dev_seed and rng.choice([False, True]))
