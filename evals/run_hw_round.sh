@@ -28,6 +28,9 @@ for ab in "TH_DEVICE_SEED=1 TH_DEVICE_CHAIN=1" "TH_DEVICE_SEED=1" ""; do
     2>>"$OUT/ab_offload.log" | tee -a "$OUT/ab_offload.log"
 done
 
+echo "== VPU dtype/SWAR microbench (lane-packing evidence) =="
+timeout 900 python evals/dtype_micro.py 2>&1 | tee "$OUT/dtype_micro.log"
+
 echo "== chunk sweep (tpu_smoke skipped; warmed cache per process) =="
 for c in 256 512 1024; do
   echo "--- chunk=$c ---" | tee -a "$OUT/chunk_sweep.log"
