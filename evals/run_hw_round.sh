@@ -17,6 +17,21 @@ cd "$(dirname "$0")/.."
 OUT=evals/hw_r03
 mkdir -p "$OUT"
 
+# If the CPU insurance sweep (evals/sweep_cpu.sh) is running, stop it by
+# its recorded exact pgid — the 1-core host cannot time hardware runs
+# while it contends.
+if [ -f /tmp/cpu_sweep.pid ]; then
+  SWEEP_PID=$(cat /tmp/cpu_sweep.pid)
+  if kill -0 "$SWEEP_PID" 2>/dev/null; then
+    kill -- -"$SWEEP_PID" 2>/dev/null || kill "$SWEEP_PID" 2>/dev/null
+    for i in $(seq 1 24); do
+      kill -0 "$SWEEP_PID" 2>/dev/null || break
+      sleep 5
+    done
+  fi
+  rm -f /tmp/cpu_sweep.pid
+fi
+
 echo "== bench (1024 reads, default chunk; includes tpu_smoke) =="
 python bench.py >"$OUT/bench.json" 2>"$OUT/bench.log"
 tail -5 "$OUT/bench.log"; cat "$OUT/bench.json"

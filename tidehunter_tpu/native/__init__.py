@@ -26,6 +26,19 @@ _tried = False
 
 def _build() -> bool:
     cc = os.environ.get("CC", "cc")
+    # -O3 -march=native: integer-only hot loops (chain DP, seeding hash,
+    # inline ksw2 walk) — bit-exactness is unaffected and re-verified by
+    # the golden tests; falls back to -O2 if the host rejects the flags.
+    cmd = [cc, "-O3", "-march=native", "-shared", "-fPIC", "-o",
+           _LIB] + _SRCS
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except subprocess.CalledProcessError:
+        pass
+    except FileNotFoundError as exc:
+        print(f"[native] build failed: {exc}", file=sys.stderr)
+        return False
     cmd = [cc, "-O2", "-shared", "-fPIC", "-o", _LIB] + _SRCS
     try:
         subprocess.run(cmd, check=True, capture_output=True)
