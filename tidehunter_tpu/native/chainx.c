@@ -85,13 +85,14 @@ static inline int get_con_score(
 __attribute__((target("avx512f,avx512cd,avx512bw,avx512dq,avx512vl")))
 static void run_dp_avx(
     const int32_t *ends, const int32_t *starts, int32_t *score,
-    int32_t *from, int64_t n, int32_t k)
+    int32_t *from, int64_t n, int32_t k, int32_t *pmax)
 {
     const __m512i v9 = _mm512_set1_epi32(9);
     const __m512i v5 = _mm512_set1_epi32(5);
     const __m512i v2k = _mm512_set1_epi32(2 * k);
     const __m512i vk = _mm512_set1_epi32(k);
     const __m512i vneg = _mm512_set1_epi32(VNEG);
+    pmax[0] = score[0];
     for (int64_t cur = 1; cur < n; ++cur) {
         int32_t cs = starts[cur], ce = ends[cur];
         int32_t cp = ce - cs;
@@ -105,6 +106,12 @@ static void run_dp_avx(
         const __m512i v_5cp = _mm512_set1_epi32(5 * cp);
         int done = 0;
         for (int64_t hi = cur - 1; hi >= 0 && !done; hi -= 16) {
+            /* Upper-bound prune: every connection adds matched - gap
+             * <= 2k to score[pre], so no candidate in 0..hi can STRICTLY
+             * beat max_score once pmax[hi] + 2k <= max_score; stop lanes
+             * only end the scan, so terminating here is result-identical
+             * (pmax = running prefix max of finalized scores). */
+            if (pmax[hi] + 2 * k <= max_score) break;
             int64_t lo = hi - 15 < 0 ? 0 : hi - 15;
             int nl = (int)(hi - lo + 1);
             __mmask16 ml = (__mmask16)(nl == 16 ? 0xFFFFu : ((1u << nl) - 1u));
@@ -178,6 +185,7 @@ static void run_dp_avx(
             }
         }
         if (max_pre >= 0) { score[cur] = max_score; from[cur] = (int32_t)max_pre; }
+        pmax[cur] = pmax[cur - 1] > score[cur] ? pmax[cur - 1] : score[cur];
     }
 }
 
@@ -271,23 +279,30 @@ int64_t th_chain(
             int32_t *s32 = (int32_t *)malloc(n * 4);
             int32_t *sc32 = (int32_t *)malloc(n * 4);
             int32_t *fr32 = (int32_t *)malloc(n * 4);
+            int32_t *pm32 = (int32_t *)malloc(n * 4);
             for (i = 0; i < n; ++i) {
                 e32[i] = (int32_t)ends[i];
                 s32[i] = (int32_t)start[i];
                 sc32[i] = (int32_t)score[i];
                 fr32[i] = -1;
             }
-            run_dp_avx(e32, s32, sc32, fr32, n, (int32_t)k);
+            run_dp_avx(e32, s32, sc32, fr32, n, (int32_t)k, pm32);
             for (i = 0; i < n; ++i) {
                 score[i] = sc32[i];
                 from[i] = fr32[i];
             }
-            free(e32); free(s32); free(sc32); free(fr32);
+            free(e32); free(s32); free(sc32); free(fr32); free(pm32);
             use_avx = 1;
         }
     }
 #endif
-    if (!use_avx)
+    if (!use_avx) {
+    /* running prefix max of finalized scores, for the same upper-bound
+     * prune as the AVX path (connections add at most 2k) */
+    int64_t *pmax = (int64_t *)malloc(n * sizeof(int64_t));
+    pmax[0] = score[0];
+    for (i = 1; i < gptr[1]; ++i)
+        pmax[i] = pmax[i - 1] > score[i] ? pmax[i - 1] : score[i];
     for (int64_t gi = 1; gi < tot_n; ++gi) {
         for (int64_t cur = gptr[gi]; cur < gptr[gi + 1]; ++cur) {
             int64_t cs = start[cur], ce = ends[cur];
@@ -295,6 +310,7 @@ int64_t th_chain(
             int64_t max_h = ce - cs, iter_n = 0;
             for (int64_t pi = gi - 1; pi >= 0; --pi) {
                 if (ends[gptr[pi]] < cs) break;
+                if (pmax[gptr[pi + 1] - 1] + 2 * k <= max_score) break;
                 int gt = 0, stop = 0;
                 for (int64_t pre = gptr[pi]; pre < gptr[pi + 1]; ++pre) {
                     int64_t cons;
@@ -313,6 +329,10 @@ int64_t th_chain(
             }
             if (max_score > score[cur]) { score[cur] = max_score; from[cur] = max_pre; }
         }
+        for (int64_t f = gptr[gi]; f < gptr[gi + 1]; ++f)
+            pmax[f] = pmax[f - 1] > score[f] ? pmax[f - 1] : score[f];
+    }
+    free(pmax);
     }
 
     int64_t n_post = chain_post(ends, start, score, from, grp_of, gptr,
