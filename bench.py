@@ -48,6 +48,31 @@ def synth_read(rng, unit_len=450, copies=9, err=0.10, flank=150):
     return decode(np.concatenate(parts))
 
 
+def probe_device(timeout_s: int = 420) -> str:
+    """Fail-fast device probe. When the axon tunnel is dead, jax.devices()
+    HANGS (observed: every probe in /tmp/tpu_probe2.log burned its full
+    300 s timeout) — without this guard a bench run on a dead tunnel
+    stalls through the smoke timeout and then hangs forever in the
+    engine. Probes in a subprocess so a hang can be killed and the
+    parent process stays JAX-uninitialized for tpu_smoke."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax\n"
+             "try:\n"
+             "    print(jax.devices()[0].platform)\n"
+             "except Exception:\n"
+             "    jax.config.update('jax_platforms', 'cpu')\n"
+             "    print(jax.devices()[0].platform)\n"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return ""
+    return (r.stdout or "").strip() if r.returncode == 0 else ""
+
+
 def tpu_smoke() -> str:
     """Run the hardware-gated parity subset (banded-MSA parity, wavefront
     lowering, ksw2 device) on the real chip BEFORE the bench engine grabs
@@ -80,6 +105,32 @@ def tpu_smoke() -> str:
 
 def main() -> int:
     n_reads = int(os.environ.get("BENCH_READS", "1024"))
+    platform = probe_device()
+    print(f"# device probe: {platform or 'UNREACHABLE'}", file=sys.stderr)
+    if not platform:
+        # Honest failure beats a silent stall: report zero so the round
+        # records "hardware was unreachable", not a hung process.
+        print(
+            json.dumps(
+                {
+                    "metric": "reads/s/chip, synthetic ONT R2C2 4.3kb (450bp x9, 10% err), full pipeline",
+                    "value": 0.0,
+                    "unit": "reads/s",
+                    "vs_baseline": 0.0,
+                    "vs_t32": 0.0,
+                    "error": "device unreachable (jax.devices() hung >420s); see evals/hw_r03 for the staged hardware round",
+                }
+            )
+        )
+        return 0
+    if platform == "cpu":
+        # The probe only resolves to CPU when the axon plugin isn't
+        # registered (no tunnel env) — adopt it so a CPU-forced bench run
+        # works instead of crashing on the sitecustomize 'axon' pin.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault("TH_SKIP_TPU_SMOKE", "1")
     smoke = tpu_smoke()
     print(f"# tpu_smoke: {smoke}", file=sys.stderr)
 
