@@ -18,4 +18,19 @@ Layers (mirroring reference layer map, SURVEY.md §1):
 
 from .version import __version__
 
-__all__ = ["__version__"]
+
+def __getattr__(name):
+    # Lazy: importing the package must stay cheap (the CLI and tools
+    # import submodules directly; the library API pulls in the pipeline).
+    if name in ("Detector", "detect"):
+        from . import api
+
+        return getattr(api, name)
+    if name == "Params":
+        from .params import Params
+
+        return Params
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["__version__", "Detector", "detect", "Params"]
