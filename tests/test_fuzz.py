@@ -55,6 +55,83 @@ def _serialize(reads, results, mtp):
     return buf.getvalue()
 
 
+def _adapter_read(rng, five, three_rc, tandem: bool):
+    """Read whose repeat unit (or single copy, tandem=False) embeds the
+    adapters — the R2C2 shape the full-length logic targets (reference
+    src/gen_cons.c:227-291 doubled-consensus search, src/gen_cons.c:89-171
+    single-copy path)."""
+    def _mut(s):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < 0.02:
+                continue
+            if r < 0.04:
+                out.append("ACGT"[rng.integers(0, 4)])
+            out.append(ch)
+        return "".join(out)
+
+    insert = decode(rng.integers(0, 4, int(rng.integers(60, 200))
+                                 ).astype(np.uint8))
+    unit = five + insert + three_rc
+    copies = int(rng.integers(3, 6)) if tandem else 1
+    flank = decode(rng.integers(0, 4, int(rng.integers(10, 60))
+                                ).astype(np.uint8))
+    body = "".join(_mut(unit) for _ in range(copies))
+    return flank + body + flank[::-1]
+
+
+@pytest.mark.parametrize(
+    "seed,fmt,extra",
+    [
+        (11, 2, {}),
+        (12, 3, {"only_full_length": True}),
+        (13, 1, {"only_full_length": True, "single_copy": True}),
+        (14, 2, {"only_longest": True}),
+    ],
+)
+def test_engine_matches_oracle_adapter_fuzz(seed, fmt, extra, tmp_path):
+    """Adapter / full-length / single-copy flag family through the BATCHED
+    engine (its Myers 'hws' device rounds) vs the host oracle."""
+    from tidehunter_tpu.pipeline.runner import load_adapters
+
+    rng = np.random.default_rng(seed)
+    five = decode(rng.integers(0, 4, 24).astype(np.uint8))
+    three = decode(rng.integers(0, 4, 22).astype(np.uint8))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    three_rc = "".join(comp[c] for c in reversed(three))
+
+    (tmp_path / "5p.fa").write_text(f">5p\n{five}\n")
+    (tmp_path / "3p.fa").write_text(f">3p\n{three}\n")
+    mtp = Params()
+    mtp.out_fmt = fmt
+    mtp.five_fn = str(tmp_path / "5p.fa")
+    mtp.three_fn = str(tmp_path / "3p.fa")
+    for k, v in extra.items():
+        setattr(mtp, k, v)
+    load_adapters(mtp)
+
+    reads = [
+        FastxRecord(
+            name=f"a{i}", comment="",
+            seq=_adapter_read(rng, five, three_rc,
+                              tandem=not (mtp.single_copy and i % 2)),
+        )
+        for i in range(10)
+    ] + [  # adapter-free controls: full-length must NOT fire
+        FastxRecord(name=f"c{i}", comment="", seq=_random_read(rng))
+        for i in range(4)
+    ]
+    eng = Engine(mtp, platform="cpu")
+    got = _serialize(reads, eng.process_chunk(reads, mtp), mtp)
+    want = _serialize(
+        reads, [tidehunter_core(r.seq, mtp) for r in reads], mtp
+    )
+    assert got == want
+    if not extra.get("only_full_length"):
+        assert got  # the tandem+adapter reads must yield records
+
+
 @pytest.mark.parametrize(
     "seed,fmt,extra",
     [
