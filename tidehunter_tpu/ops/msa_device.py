@@ -465,13 +465,29 @@ def _dp_one_row_banded(jax, jnp, pl, pltpu, r, kk, T, K, W, costs,
 
 def _make_bt_kernel(T: int, NL: int, WP: int | None = None):
     """WP set = banded variant: dirs rows are WP-wide windows; the lane
-    holding cell (j, c) at level L is (c-1) - _band_base(L-2)."""
+    holding cell (j, c) at level L is (c-1) - _band_base(L-2).
+
+    Outputs (per problem row):
+      ops  [B, NL] int8  — alignment ops COMPACTED right-anchored: the
+           m-th emitted op (backtrack emits the LAST forward step first)
+           lands at lane NL-1-m, so lanes [NL-nsteps, NL) read
+           left-to-right are the forward alignment with no PAD holes.
+           This is the key to the scatter-free update_step: forward step
+           p (0-based) IS profile column p, so the profile update is a
+           gather at lane p + NL - nsteps — the old level-indexed layout
+           forced an XLA scatter (measured 57 ms/round vs the DP's 11,
+           evals/msa_micro.py round 4).
+      nst  [B, 1] int32  — total steps emitted (= new profile width).
+      tch  [B, 1] int32  — band-touch flag: path reached within 8 of the
+           |c-j| band edge (wb = WP - 8); always 0 for the full kernel.
+           Replaces the separate touch_step dispatch."""
     jax, jnp, pl, pltpu = _modules()
     W = T if WP is None else WP
+    wb = 0 if WP is None else WP - 8
 
     def kernel(dirs_ref, qlen_ref, ncol_ref,
-               ops_ref,
-               j_ref, c_ref, mode_ref):
+               ops_ref, nst_ref, tch_ref,
+               j_ref, c_ref, mode_ref, m_ref):
         tick = pl.program_id(1)
         B = qlen_ref.shape[0]
         L = 2 * T - tick            # current level (j + c)
@@ -485,11 +501,14 @@ def _make_bt_kernel(T: int, NL: int, WP: int | None = None):
             j_ref[:] = qlen_ref[:]
             c_ref[:] = ncol_ref[:]
             mode_ref[:] = jnp.full((B, 1), -1, jnp.int32)
+            m_ref[:] = jnp.zeros((B, 1), jnp.int32)
             ops_ref[:] = jnp.full((B, NL), OP_PAD, jnp.int8)
+            tch_ref[:] = jnp.zeros((B, 1), jnp.int32)
 
         j = j_ref[:]
         c = c_ref[:]
         mode = mode_ref[:]
+        m = m_ref[:]
         act = (j + c == L) & ((j > 0) | (c > 0))
         at_top = j == 0
         at_left = c == 0
@@ -518,7 +537,12 @@ def _make_bt_kernel(T: int, NL: int, WP: int | None = None):
         op = jnp.where(is_m, OP_M, jnp.where(is_i, OP_I, OP_D))
 
         ops_ref[:] = jnp.where(
-            act & (lnl == L), op.astype(jnp.int8), ops_ref[:])
+            act & (lnl == NL - 1 - m), op.astype(jnp.int8), ops_ref[:])
+        if wb > 0:
+            # post-step coordinates of the forward step emitted this tick
+            # — the same set touch_step used to reconstruct from cumsums
+            tch_ref[:] = jnp.where(
+                act & (jnp.abs(c - j) >= wb - 8), 1, tch_ref[:])
         # track of the current step: run keeps its entry track; a fresh
         # I/D step picks by isel2/fsel2 of this cell
         i_trk2 = jnp.where(in_run, (mode == 3).astype(jnp.int32), isel2)
@@ -534,6 +558,9 @@ def _make_bt_kernel(T: int, NL: int, WP: int | None = None):
         j_ref[:] = jnp.where(act, j - jnp.where(is_m | is_i, 1, 0), j)
         c_ref[:] = jnp.where(act, c - jnp.where(is_m | is_d, 1, 0), c)
         mode_ref[:] = jnp.where(act, nmode, mode)
+        m2 = m + act.astype(jnp.int32)
+        m_ref[:] = m2
+        nst_ref[:] = m2
 
     return kernel
 
@@ -588,38 +615,39 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
 
     @jax.jit
     def update_step(counts, n_placed, ncol, overflow, unit, qlen, active,
-                    ops_lvl):
+                    ops_c, nst):
+        """Profile update from the COMPACTED right-anchored ops (see
+        _make_bt_kernel): forward step p is at lane p + NP - nsteps, and
+        because new column index == step index, the whole update is
+        gathers + masks — zero scatters.  Bit-identical to the retired
+        level-indexed scatter formulation (dest = step-1 was a cumsum, so
+        the scatter indices were unique and ascending = a compaction)."""
         B, T, _ = counts.shape
-        NL = ops_lvl.shape[1]
-        op = ops_lvl.astype(jnp.int32)
+        NP = ops_c.shape[1]
         unit = unit.astype(jnp.int32)
-        valid = (op != OP_PAD) & active[:, None]
+        posT = jnp.arange(T)[None, :]
+        src = posT + (NP - nst)                                  # nst [B,1]
+        op = jnp.take_along_axis(
+            ops_c, jnp.clip(src, 0, NP - 1), axis=1).astype(jnp.int32)
+        valid = (posT < nst) & active[:, None]
         is_i = op == OP_I
         is_d = op == OP_D
         consumes_c = valid & ~is_i
         consumes_q = valid & ~is_d
-        step = jnp.cumsum(valid.astype(jnp.int32), axis=1)       # 1-based
         col = jnp.cumsum(consumes_c.astype(jnp.int32), axis=1)   # 1-based
         qp = jnp.cumsum(consumes_q.astype(jnp.int32), axis=1) - 1
 
         base = jnp.take_along_axis(
-            unit.astype(jnp.int32), jnp.clip(qp, 0, unit.shape[1] - 1),
-            axis=1)
+            unit, jnp.clip(qp, 0, unit.shape[1] - 1), axis=1)
         base = jnp.where(consumes_q, base, 5)
-        onehot = jax.nn.one_hot(base, 5, dtype=jnp.int32)        # [B, NL, 5]
+        onehot = jax.nn.one_hot(base, 5, dtype=jnp.int32)        # [B, T, 5]
 
         colz = jnp.clip(col - 1, 0, T - 1)
         old = jnp.take_along_axis(counts, colz[:, :, None], axis=1)
         old = jnp.where(consumes_c[:, :, None], old, 0)
-        contrib = old + jnp.where(valid[:, :, None], onehot, 0)
+        new = old + jnp.where(valid[:, :, None], onehot, 0)
 
-        dest = jnp.where(valid & (step <= T), step - 1, T)       # T = dump
-        new = jnp.zeros((B, T + 1, 5), jnp.int32)
-        bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, NL))
-        new = new.at[bidx, dest].add(contrib)
-        new = new[:, :T, :]
-
-        nsteps = step[:, -1]
+        nsteps = nst[:, 0]
         counts2 = jnp.where(active[:, None, None], new, counts)
         ncol2 = jnp.where(active, jnp.minimum(nsteps, T), ncol)
         overflow2 = overflow | (active & (nsteps > T))
@@ -627,14 +655,22 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         return counts2, n_placed2, ncol2, overflow2
 
     @jax.jit
-    def polish_update(votes, ncol, active, unit, ops_lvl):
+    def polish_update(votes, ncol, active, unit, ops_c, nst):
         """Frozen-layout vote accumulation: only M steps into existing
         columns count (the host polish rule, ops/poa_profile.py
-        profile_consensus polish loop)."""
+        profile_consensus polish loop).  Realigns the compacted ops to
+        forward order over the FULL width (steps past position T can
+        still vote into columns < T when insertions pushed them there);
+        dest = col stays a scatter — polish is off on the production
+        default path, so this keeps the simple, known-correct form."""
         B, T, _ = votes.shape
-        op = ops_lvl.astype(jnp.int32)
+        NP = ops_c.shape[1]
+        pos = jnp.arange(NP)[None, :]
+        srcl = pos + (NP - nst)
+        op = jnp.take_along_axis(
+            ops_c, jnp.clip(srcl, 0, NP - 1), axis=1).astype(jnp.int32)
         unit = unit.astype(jnp.int32)
-        valid = (op != OP_PAD) & active[:, None]
+        valid = (pos < nst) & active[:, None]
         consumes_c = valid & (op != OP_I)
         consumes_q = valid & (op != OP_D)
         col = jnp.cumsum(consumes_c.astype(jnp.int32), axis=1) - 1
@@ -650,18 +686,6 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         padded = jnp.zeros((B, T + 1, 5), jnp.int32)
         padded = padded.at[bidx, dest].add(onehot)
         return votes + padded[:, :T, :]
-
-    @jax.jit
-    def touch_step(ops_lvl, active, wb):
-        """Band-touch: does the path reach within 8 of the |c-j| band
-        edge?  (Reconstructs per-level j/c from the op cumsums.)"""
-        op = ops_lvl.astype(jnp.int32)
-        valid = (op != OP_PAD) & active[:, None]
-        consumes_c = valid & (op != OP_I)
-        consumes_q = valid & (op != OP_D)
-        c = jnp.cumsum(consumes_c.astype(jnp.int32), axis=1)
-        j = jnp.cumsum(consumes_q.astype(jnp.int32), axis=1)
-        return jnp.any(valid & (jnp.abs(c - j) >= wb - 8), axis=1)
 
     @jax.jit
     def init_step(units_dev, ulen_dev):
@@ -693,7 +717,7 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         return packed, bc.astype(jnp.int16)
 
     return (gather_step, scores_step, update_step, consensus_step,
-            init_step, polish_update, touch_step,
+            init_step, polish_update,
             (oi, ei, od, oi2, ei2, od2))
 
 
@@ -712,22 +736,17 @@ def _tile_bt(T: int, W=None) -> int:
 
 
 def _dirs_b(T: int, W=None) -> int:
-    """Fixed region-batch per (bucket, window) variant: dirs HBM
-    footprint is n_rows * B * lane-width bytes (~0.5 GB budget). DP
-    compute scales with B, so oversizing the batch pads dead rows
-    through every unit round — B is kept near one VMEM tile and large
-    region sets just run more batches (each round is a single fused
-    dispatch). Always a multiple of _tile_bt so the grid divides
-    evenly."""
-    lanes = T if W is None else W
-    bt = _tile_bt(T, W)
-    raw = max(8, min(1024, 500_000_000 // (2 * T * lanes) // 8 * 8))
+    """Region batch per (bucket, window) variant = ONE VMEM tile, capped
+    at 256 rows.  Larger region sets loop over tile-sized batches: all
+    rounds of all batches enqueue asynchronously (measured ~0.4 ms of
+    host dispatch per round vs ~10 ms of device DP), so extra batches
+    cost only milliseconds while a big fixed B pads dead rows through
+    EVERY unit round — the retired near-1024 B padded 512-region bench
+    chunks by 27%.  256 divides the common pow2 chunk sizes exactly."""
+    bt = min(_tile_bt(T, W), 256)
     if _B_CAP is not None:
-        raw = min(raw, max(8, _B_CAP))
-        return raw if raw < bt else raw // bt * bt
-    if raw >= bt:
-        return raw // bt * bt
-    return raw  # big-T buckets: batch smaller than one VMEM tile
+        return max(8, min(bt, max(8, _B_CAP)))
+    return bt
 
 
 
@@ -763,7 +782,6 @@ class DeviceMSA:
             gap_ext2 = gap_ext
         (self.gather_step, self.scores_step, self.update_step,
          self.consensus_step, self.init_step, self.polish_update,
-         self.touch_step,
          (self.oi, self.ei, self.od, self.oi2, self.ei2, self.od2)
          ) = _build_jits(
             match, mismatch, gap_open, gap_ext, gap_open2, gap_ext2)
@@ -844,6 +862,8 @@ class DeviceMSA:
 
         @jax.jit
         def run(dirs, qlen, ncol):
+            small = pl.BlockSpec((BT, 1), lambda b, k: (b, 0),
+                                 memory_space=pltpu.VMEM)
             return pl.pallas_call(
                 kern,
                 grid=(B // BT, NT),
@@ -852,16 +872,22 @@ class DeviceMSA:
                         (1, BT, W),
                         lambda b, k: (jnp.maximum(2 * T - 2 - k, 0), b, 0),
                         memory_space=pltpu.VMEM),
-                    pl.BlockSpec((BT, 1), lambda b, k: (b, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((BT, 1), lambda b, k: (b, 0),
-                                 memory_space=pltpu.VMEM),
+                    small,
+                    small,
                 ],
-                out_specs=pl.BlockSpec((BT, NL), lambda b, k: (b, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((B, NL), jnp.int8),
+                out_specs=[
+                    pl.BlockSpec((BT, NL), lambda b, k: (b, 0),
+                                 memory_space=pltpu.VMEM),
+                    small,
+                    small,
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((B, NL), jnp.int8),
+                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                ],
                 scratch_shapes=[pltpu.VMEM((BT, 1), jnp.int32)
-                                for _ in range(3)],
+                                for _ in range(4)],
                 interpret=INTERPRET,
             )(dirs, qlen, ncol)
 
@@ -889,7 +915,6 @@ class DeviceMSA:
         run_dp, B, LQplus = self._dp_run(T, W)
         run_bt, B2, NL = self._bt_run(T, W)
         assert B == B2
-        wb = W - 8 if banded else 0
 
         def round_fn(counts, n_placed, ncol, overflow, ev,
                      unit_k, qlen_k, active):
@@ -898,13 +923,13 @@ class DeviceMSA:
             maxr = jnp.max(qlen_k + ncol).reshape(1, 1)
             dirs = run_dp(maxr, qbuf, sub, wl, wdel, wl2, wdel2,
                           qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
-            ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
-                             ncol.reshape(-1, 1))
+            ops_c, nst, tchk = run_bt(dirs, qlen_k.reshape(-1, 1),
+                                      ncol.reshape(-1, 1))
             counts2, n_placed2, ncol2, overflow2 = self.update_step(
                 counts, n_placed, ncol, overflow, unit_k, qlen_k, active,
-                ops_lvl)
+                ops_c, nst)
             if banded:
-                tch = self.touch_step(ops_lvl, active, wb)
+                tch = (tchk[:, 0] > 0) & active
                 ovf_new = overflow2 & ~overflow
                 ev = jnp.where(
                     ev != 0, ev,
@@ -918,12 +943,12 @@ class DeviceMSA:
             maxr = jnp.max(qlen_k + ncol).reshape(1, 1)
             dirs = run_dp(maxr, qbuf, sub, wl, wdel, wl2, wdel2,
                           qlen_k.reshape(-1, 1), ncol.reshape(-1, 1))
-            ops_lvl = run_bt(dirs, qlen_k.reshape(-1, 1),
-                             ncol.reshape(-1, 1))
+            ops_c, nst, tchk = run_bt(dirs, qlen_k.reshape(-1, 1),
+                                      ncol.reshape(-1, 1))
             votes2 = self.polish_update(votes, ncol, active, unit_k,
-                                        ops_lvl)
+                                        ops_c, nst)
             if banded:
-                tch = self.touch_step(ops_lvl, active, wb)
+                tch = (tchk[:, 0] > 0) & active
                 ev = jnp.where(ev != 0, ev, jnp.where(tch, 1, 0))
             return votes2, ev
 
@@ -984,27 +1009,36 @@ class DeviceMSA:
                     W = rungs[min(rung, len(rungs) - 1)]
                     by_bucket.setdefault((b, W), []).append((ri, rung))
             todo = []
+            # Two phases: enqueue EVERY batch's rounds (all async), then
+            # pull.  A per-batch blocking pull would idle the device for
+            # one tunnel round trip between batches.
+            launched = []
             for (T, W), entries in by_bucket.items():
                 round_fn, polish_round_fn, B, LQplus, NL = self._round(
                     T, W)
                 for lo in range(0, len(entries), B):
                     part = entries[lo:lo + B]
-                    res = self._one_batch(
+                    devs = self._enqueue_batch(
                         [regions[i] for i, _ in part], T, B,
                         round_fn, polish_round_fn, jnp, W)
-                    for (i, rung), r in zip(part, res):
-                        if r is None:
-                            # overflow: bucket up, ladder restarts
-                            todo.append((i, T + 1, 0))
-                        elif isinstance(r, str):
-                            # band touch: same bucket, next rung
-                            todo.append((i, T, rung + 1))
-                        else:
-                            out[i] = r
+                    launched.append((part, T, W, devs))
+            for part, T, W, devs in launched:
+                res = self._collect_batch(devs, len(part), W)
+                for (i, rung), r in zip(part, res):
+                    if r is None:
+                        # overflow: bucket up, ladder restarts
+                        todo.append((i, T + 1, 0))
+                    elif isinstance(r, str):
+                        # band touch: same bucket, next rung
+                        todo.append((i, T, rung + 1))
+                    else:
+                        out[i] = r
         return out
 
-    def _one_batch(self, regs, T, B, round_fn, polish_round_fn, jnp,
-                   W=None):
+    def _enqueue_batch(self, regs, T, B, round_fn, polish_round_fn, jnp,
+                       W=None):
+        """Dispatches every unit round of one region batch; returns the
+        still-on-device (packed, coverage, ev) arrays — no host pull."""
         from ..utils.metrics import METRICS
 
         banded = W is not None
@@ -1061,6 +1095,11 @@ class DeviceMSA:
             n_placed = nunits_dev32
 
         packed, bc = self.consensus_step(counts, n_placed, ncol, overflow)
+        return packed, bc, (ev if banded else None)
+
+    def _collect_batch(self, devs, R, W=None):
+        banded = W is not None
+        packed, bc, ev = devs
         packed = np.asarray(packed)
         bc = np.asarray(bc)
         evnp = np.asarray(ev) if banded else None

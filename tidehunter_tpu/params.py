@@ -103,7 +103,11 @@ class Params:
     read_bucket_sizes: tuple = (2048, 4096, 8192, 16384, 32768, 65536)
     # alignment buckets: few, square, 128-multiples — each size is one
     # Mosaic compile and the axon platform has no persistent compile cache
-    aln_bucket_sizes: tuple = (128, 640, 2048, 4096, 8192)
+    # ladder steps ~1.25-1.5x: DP cost is LQ*LT, so a bucket spill pays
+    # the full ratio; with rectangular (LQ, LT) grouping only combos that
+    # actually occur compile (a handful per workload)
+    aln_bucket_sizes: tuple = (128, 256, 384, 512, 640, 768, 1024, 1280,
+                               1536, 2048, 3072, 4096, 6144, 8192)
 
     @property
     def five_len(self) -> int:
