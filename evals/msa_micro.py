@@ -154,11 +154,11 @@ def main() -> int:
     print(f"fused round_fn: {dt * 1e3:.2f} ms")
 
     dt, packed = bench_fn(msa.consensus_step, counts, n_placed, ncol,
-                          overflow)
+                          overflow, ev)
     print(f"consensus_step: {dt * 1e3:.2f} ms")
 
     t0 = time.perf_counter()
-    np.asarray(packed[0]), np.asarray(packed[1])
+    np.asarray(packed)
     print(f"pull: {(time.perf_counter() - t0) * 1e3:.2f} ms")
 
     # dispatch-side cost: enqueue 8 dependent rounds then block once

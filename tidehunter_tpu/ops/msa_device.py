@@ -701,9 +701,11 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         return counts, fl.astype(jnp.int32)
 
     @jax.jit
-    def consensus_step(counts, n_placed, ncol, overflow):
-        """Packs (best | keep<<3 | overflow<<4) into one uint8 plane and
-        coverage into int16 — the pull is latency+bandwidth bound."""
+    def consensus_step(counts, n_placed, ncol, overflow, ev):
+        """Packs (best | keep<<3 | overflow<<4 | ev<<5 | coverage<<8)
+        into ONE int32 plane: the pull is dominated by tunnel round
+        trips (~24 ms each), so one array beats the retired three
+        (uint8 flags + int16 coverage + int32 ev)."""
         B, T, _ = counts.shape
         ci = jnp.arange(T)[None, :]
         best = jnp.argmax(counts, axis=2)
@@ -711,13 +713,23 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         occ = counts.sum(axis=2)
         gaps = n_placed[:, None] - occ
         keep = (bc > gaps) & (ci < ncol[:, None])
-        packed = (best
-                  | jnp.where(keep, 8, 0)
-                  | jnp.where(overflow[:, None], 16, 0)).astype(jnp.uint8)
-        return packed, bc.astype(jnp.int16)
+        return (best
+                | jnp.where(keep, 8, 0)
+                | jnp.where(overflow[:, None], 16, 0)
+                | jnp.left_shift(ev, 5)[:, None]
+                | jnp.left_shift(bc, 8)).astype(jnp.int32)
+
+    @jax.jit
+    def unpack_step(units_p):
+        """Unpack the 2-bases-per-byte upload (values 0..4 in each
+        nibble): units cross the ~40 MB/s tunnel at half width."""
+        B, U, Th = units_p.shape
+        lo = units_p & 15
+        hi = units_p >> 4
+        return jnp.stack([lo, hi], axis=-1).reshape(B, U, Th * 2)
 
     return (gather_step, scores_step, update_step, consensus_step,
-            init_step, polish_update,
+            init_step, polish_update, unpack_step,
             (oi, ei, od, oi2, ei2, od2))
 
 
@@ -782,6 +794,7 @@ class DeviceMSA:
             gap_ext2 = gap_ext
         (self.gather_step, self.scores_step, self.update_step,
          self.consensus_step, self.init_step, self.polish_update,
+         self.unpack_step,
          (self.oi, self.ei, self.od, self.oi2, self.ei2, self.od2)
          ) = _build_jits(
             match, mismatch, gap_open, gap_ext, gap_open2, gap_ext2)
@@ -1056,7 +1069,9 @@ class DeviceMSA:
                 units_arr[i, k, :L] = u[:L]
                 ulen[i, k] = max(1, L)
 
-        units_dev = jnp.asarray(units_arr)
+        # 2 bases/byte across the tunnel (T is a lane multiple, so even)
+        units_pk = units_arr[:, :, 0::2] | (units_arr[:, :, 1::2] << 4)
+        units_dev = self.unpack_step(jnp.asarray(units_pk))
         ulen_dev = jnp.asarray(ulen)
         counts, ncol = self.init_step(units_dev, ulen_dev)
         n_placed = jnp.ones(B, jnp.int32)
@@ -1094,28 +1109,25 @@ class DeviceMSA:
             counts = votes
             n_placed = nunits_dev32
 
-        packed, bc = self.consensus_step(counts, n_placed, ncol, overflow)
-        return packed, bc, (ev if banded else None)
+        return self.consensus_step(counts, n_placed, ncol, overflow, ev)
 
-    def _collect_batch(self, devs, R, W=None):
+    def _collect_batch(self, dev, R, W=None):
         banded = W is not None
-        packed, bc, ev = devs
-        packed = np.asarray(packed)
-        bc = np.asarray(bc)
-        evnp = np.asarray(ev) if banded else None
+        packed = np.asarray(dev)
         out = []
         for i in range(R):
-            if banded and evnp[i] == 1:
+            row = packed[i]
+            ev_i = (row[0] >> 5) & 3
+            if banded and ev_i == 1:
                 out.append("touch")     # band edge: next-rung retry
                 continue
-            if banded and evnp[i] == 2:
+            if banded and ev_i == 2:
                 out.append(None)        # overflow -> bucket-up retry
                 continue
-            row = packed[i]
             if row[0] & 16:
                 out.append(None)        # overflow -> bucket-up retry
                 continue
             kp = (row & 8) != 0
             out.append(((row[kp] & 7).astype(np.uint8),
-                        bc[i][kp].astype(np.int64)))
+                        (row[kp] >> 8).astype(np.int64)))
         return out
