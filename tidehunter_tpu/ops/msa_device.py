@@ -260,12 +260,16 @@ def _make_dp_kernel_banded(T: int, K: int, W: int, oi: int, ei: int,
     anti-diagonals (a conditional roll of the scratch refs — no
     alignment margin, unlike the retired 384-lane-margin design; at
     W=128 a row costs 128 lanes against the full kernel's T).  The
-    sub/weight arrays are read through 128-aligned dynamic slices
-    rotated into window position with a dynamic pltpu.roll.  Regions
-    whose optimal path reaches the band edge are flagged by the touch
-    step and retried wider/full; the host oracle
-    (ops/poa_profile.banded_profile_consensus) applies the identical
-    band + ladder rule, so the host/device pair stays bit-equal."""
+    windowed views of the 9 per-column arrays (5 sub planes + 4 gap
+    weights) are CACHED in scratch and maintained incrementally: on a
+    shift row each rolls left one lane and the newly exposed right lane
+    is filled with a single 128-aligned extract — the retired
+    load-per-row scheme (wide slice + dynamic roll, 9x per row) was the
+    dominant per-row cost of the whole MSA.  Regions whose optimal path
+    reaches the band edge are flagged by the touch step and retried
+    wider/full; the host oracle (ops/poa_profile.banded_profile_consensus)
+    applies the identical band + ladder rule, so the host/device pair
+    stays bit-equal."""
     jax, jnp, pl, pltpu = _modules()
 
     def kernel(maxr_ref, qbuf_ref, sub_ref, wl_ref, wdel_ref,
@@ -273,12 +277,17 @@ def _make_dp_kernel_banded(T: int, K: int, W: int, oi: int, ei: int,
                ncol_ref,
                dirs_ref,
                he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
-               e2_ref, f2_ref):
+               e2_ref, f2_ref,
+               sw0_ref, sw1_ref, sw2_ref, sw3_ref, sw4_ref,
+               wlw_ref, wl2w_ref, wdw_ref, wd2w_ref):
         rk = pl.program_id(1)
         B = wl_ref.shape[0]
         Lq = qlen_ref[:, 0:1]
         Tn = ncol_ref[:, 0:1]
         maxr = maxr_ref[0, 0]
+        subw = (sw0_ref, sw1_ref, sw2_ref, sw3_ref, sw4_ref)
+        wins = ((wlw_ref, wl_ref), (wl2w_ref, wl2_ref),
+                (wdw_ref, wdel_ref), (wd2w_ref, wdel2_ref))
 
         @pl.when(rk == 0)
         def _init():
@@ -286,6 +295,12 @@ def _make_dp_kernel_banded(T: int, K: int, W: int, oi: int, ei: int,
                         e2_ref, f2_ref):
                 ref[:] = jnp.full((B, W), NEG, jnp.int32)
             qrr_ref[:] = jnp.full((B, W), 4, jnp.int32)
+            # _band_base(r=0) == 0: the initial windows are the plain
+            # first W lanes
+            for bb in range(5):
+                subw[bb][:] = sub_ref[:, bb, :W]
+            for wref, src in wins:
+                wref[:] = src[:, :W]
 
         for kk in range(K):
             rr = rk * K + kk   # traced through rk
@@ -295,38 +310,19 @@ def _make_dp_kernel_banded(T: int, K: int, W: int, oi: int, ei: int,
                 _dp_one_row_banded(
                     jax, jnp, pl, pltpu, rr, kk, T, K, W,
                     (oi, ei, od, oi2, ei2, od2),
-                    qbuf_ref, sub_ref, wl_ref, wdel_ref, wl2_ref,
-                    wdel2_ref, dirs_ref,
+                    qbuf_ref, sub_ref, dirs_ref,
                     he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
-                    e2_ref, f2_ref,
+                    e2_ref, f2_ref, subw, wins,
                     Lq, Tn, B,
                 )
 
     return kernel
 
 
-def _win(jnp, pl, pltpu, ref, base, W, T, plane=None):
-    """Window load: ref[..., base : base+W] via a 128-aligned dynamic
-    slice rotated into place (dynamic-shift roll), for arbitrary base.
-    The slice start is clamped to T - W - 128 so the (W+128)-wide read
-    never runs past the ref's T lanes (base <= T - W by _band_base, so
-    the clamp keeps the window inside the slice: m = base - A <= 128)."""
-    A = pl.multiple_of(
-        jnp.minimum(base // 128 * 128, T - W - 128), 128)
-    m = base - A
-    if plane is None:
-        wide = ref[:, pl.ds(A, W + 128)]
-    else:
-        wide = ref[:, plane, pl.ds(A, W + 128)]
-    rot = pltpu.roll(wide, jnp.where(m == 0, 0, W + 128 - m), 1)
-    return rot[:, :W]
-
-
 def _dp_one_row_banded(jax, jnp, pl, pltpu, r, kk, T, K, W, costs,
-                       qbuf_ref, sub_ref, wl_ref, wdel_ref, wl2_ref,
-                       wdel2_ref, dirs_ref,
+                       qbuf_ref, sub_ref, dirs_ref,
                        he_ref, ho_ref, e_ref, f_ref, g_ref, qrr_ref,
-                       e2_ref, f2_ref,
+                       e2_ref, f2_ref, subw, wins,
                        Lq, Tn, B):
     oi, ei, od, oi2, ei2, od2 = costs
     base = _band_base(jnp, r, T, W)
@@ -346,6 +342,24 @@ def _dp_one_row_banded(jax, jnp, pl, pltpu, r, kk, T, K, W, costs,
                           (f2_ref, NEG)):
             ref[:] = jnp.where(
                 li == W - 1, fill, pltpu.roll(ref[:], W - 1, 1))
+        # cached windows slide with the band: roll left one lane, fill
+        # the new right lane (global column base + W - 1) with a single
+        # 128-aligned extract from the full-width source
+        cnew = base + W - 1
+        A = pl.multiple_of(
+            jnp.minimum(cnew // 128 * 128, T - 128), 128)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+        sel = lane128 == (cnew - A)
+        for bb in range(5):
+            v = jnp.sum(jnp.where(sel, sub_ref[:, bb, pl.ds(A, 128)], 0),
+                        axis=1, keepdims=True)
+            subw[bb][:] = jnp.where(
+                li == W - 1, v, pltpu.roll(subw[bb][:], W - 1, 1))
+        for wref, src in wins:
+            v = jnp.sum(jnp.where(sel, src[:, pl.ds(A, 128)], 0),
+                        axis=1, keepdims=True)
+            wref[:] = jnp.where(
+                li == W - 1, v, pltpu.roll(wref[:], W - 1, 1))
 
     ti = li + base                    # global lane = column-1
     wb = W - 8
@@ -377,15 +391,14 @@ def _dp_one_row_banded(jax, jnp, pl, pltpu, r, kk, T, K, W, costs,
     mask = ((ti <= r) & (ti >= r - Lq + 1) & (ti < Tn)
             & (r < Lq + Tn - 1) & bandok)
 
-    subw = [_win(jnp, pl, pltpu, sub_ref, base, W, T, plane=bb)
-            for bb in range(5)]
-    s = subw[0]
+    s = subw[0][:]
     for bb in range(1, 5):
-        s = jnp.where(qb == bb, subw[bb], s)
-    Wl = _win(jnp, pl, pltpu, wl_ref, base, W, T)
-    Wl2 = _win(jnp, pl, pltpu, wl2_ref, base, W, T)
-    wd = _win(jnp, pl, pltpu, wdel_ref, base, W, T)
-    wd2 = _win(jnp, pl, pltpu, wdel2_ref, base, W, T)
+        s = jnp.where(qb == bb, subw[bb][:], s)
+    (wlw_ref, _), (wl2w_ref, _), (wdw_ref, _), (wd2w_ref, _) = wins
+    Wl = wlw_ref[:]
+    Wl2 = wl2w_ref[:]
+    wd = wdw_ref[:]
+    wd2 = wd2w_ref[:]
     Wl_sh = jnp.where(ti == 0, 0, pltpu.roll(Wl, 1, 1))
     Wl2_sh = jnp.where(ti == 0, 0, pltpu.roll(Wl2, 1, 1))
 
@@ -738,12 +751,12 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
 
 def _tile_bt(T: int, W=None) -> int:
     """Rows per grid block, from the DP kernel's real VMEM bill (int32,
-    x4B): qbuf ~2T+256, sub 5T, wl/wdel/wl2/wdel2 4T, 8 scratch 8 lanes
-    of the working width, plus the double-buffered K-row uint8 dirs
-    block; budget 12 MB of the 16 MB VMEM.  W=None = full kernel
-    (working width T)."""
+    x4B): qbuf ~2T+256, sub 5T, wl/wdel/wl2/wdel2 4T, 8 DP scratch refs
+    of the working width (+9 cached-window refs in the banded variant),
+    plus the double-buffered K-row uint8 dirs block; budget 12 MB of the
+    16 MB VMEM.  W=None = full kernel (working width T)."""
     lanes = T if W is None else W
-    bill = 44 * T + 40 * lanes + 512
+    bill = 44 * T + (40 if W is None else 76) * lanes + 512
     return max(8, 12_000_000 // bill // 8 * 8)
 
 
@@ -854,7 +867,7 @@ class DeviceMSA:
                     memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((NR * K, B, WP), jnp.uint8),
                 scratch_shapes=[pltpu.VMEM((BT, WP), jnp.int32)
-                                for _ in range(8)],
+                                for _ in range(8 if W is None else 17)],
                 interpret=INTERPRET,
             )(maxr, qbuf, sub, wl, wdel, wl2, wdel2, qlen, ncol)
 
@@ -1013,6 +1026,8 @@ class DeviceMSA:
             # the finer bucket ladder reward it
             todo.append((ri, int(cap * 1.2) + 8, 0))
 
+        from ..utils.metrics import METRICS
+
         while todo:
             by_bucket: Dict[Tuple[int, int | None], List[int]] = {}
             for ri, need, rung in todo:
@@ -1026,26 +1041,30 @@ class DeviceMSA:
             # pull.  A per-batch blocking pull would idle the device for
             # one tunnel round trip between batches.
             launched = []
-            for (T, W), entries in by_bucket.items():
-                round_fn, polish_round_fn, B, LQplus, NL = self._round(
-                    T, W)
-                for lo in range(0, len(entries), B):
-                    part = entries[lo:lo + B]
-                    devs = self._enqueue_batch(
-                        [regions[i] for i, _ in part], T, B,
-                        round_fn, polish_round_fn, jnp, W)
-                    launched.append((part, T, W, devs))
-            for part, T, W, devs in launched:
-                res = self._collect_batch(devs, len(part), W)
-                for (i, rung), r in zip(part, res):
-                    if r is None:
-                        # overflow: bucket up, ladder restarts
-                        todo.append((i, T + 1, 0))
-                    elif isinstance(r, str):
-                        # band touch: same bucket, next rung
-                        todo.append((i, T, rung + 1))
-                    else:
-                        out[i] = r
+            with METRICS.timed("msa_enqueue"):
+                for (T, W), entries in by_bucket.items():
+                    round_fn, polish_round_fn, B, LQplus, NL = self._round(
+                        T, W)
+                    for lo in range(0, len(entries), B):
+                        part = entries[lo:lo + B]
+                        devs = self._enqueue_batch(
+                            [regions[i] for i, _ in part], T, B,
+                            round_fn, polish_round_fn, jnp, W)
+                        launched.append((part, T, W, devs))
+            with METRICS.timed("msa_pull"):
+                for part, T, W, devs in launched:
+                    res = self._collect_batch(devs, len(part), W)
+                    for (i, rung), r in zip(part, res):
+                        if r is None:
+                            # overflow: bucket up, ladder restarts
+                            METRICS.add("msa_retry_ovf")
+                            todo.append((i, T + 1, 0))
+                        elif isinstance(r, str):
+                            # band touch: same bucket, next rung
+                            METRICS.add("msa_retry_touch")
+                            todo.append((i, T, rung + 1))
+                        else:
+                            out[i] = r
         return out
 
     def _enqueue_batch(self, regs, T, B, round_fn, polish_round_fn, jnp,
