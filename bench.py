@@ -104,6 +104,11 @@ def tpu_smoke() -> str:
 
 
 def main() -> int:
+    # the measured pipeline overlaps a host prepare thread with the
+    # device-drive thread on a 1-core host: the drive thread wakes from
+    # ~100 device waits per rep and each wakeup can stall a full GIL
+    # switch interval (default 5 ms) behind the prepare thread
+    sys.setswitchinterval(0.001)
     n_reads = int(os.environ.get("BENCH_READS", "1024"))
     platform = probe_device()
     print(f"# device probe: {platform or 'UNREACHABLE'}", file=sys.stderr)

@@ -14,7 +14,7 @@
 # process before running this.
 set -u
 cd "$(dirname "$0")/.."
-OUT=evals/hw_r03
+OUT=evals/hw_r04
 mkdir -p "$OUT"
 
 # If the CPU insurance sweep (evals/sweep_cpu.sh) is running, stop it by

@@ -358,6 +358,10 @@ def _apply_opt(mtp: Params, extra: dict, c: str, val: str) -> Optional[int]:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # the pipelined engine overlaps a host prepare thread with the
+    # device-drive thread; on few-core hosts the drive thread's device
+    # wakeups otherwise stall up to a full 5 ms GIL switch interval
+    sys.setswitchinterval(0.001)
     argv = argv if argv is not None else sys.argv[1:]
     parsed = parse_args(argv)
     if isinstance(parsed, int):

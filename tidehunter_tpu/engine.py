@@ -183,6 +183,8 @@ class BatchAligner:
         t = np.full((B, LT), 4, np.uint8)
         qlen = np.ones(B, np.int32)
         tlen = np.ones(B, np.int32)
+        # per-row block copies — each row is one memcpy; a fancy-index
+        # scatter variant (per-ELEMENT index pairs) measured 3x slower
         for row, i in enumerate(idxs):
             qs, ts = reqs[i][qi], reqs[i][ti]
             q[row, : len(qs)] = qs
@@ -701,7 +703,17 @@ class Engine:
             else:
                 for item in enumerate(chunk):
                     _seed_chain(item)
-        return chunk, bseqs, read_chains
+        # partition walks are pure host work when the native kernel
+        # serves them (the single-chip default): doing them HERE instead
+        # of in finish_chunk lets the pipelined runner overlap chunk
+        # N+1's walks with chunk N's device consensus rounds — in
+        # finish_chunk they sat on the critical path idling the device
+        # between chunks. Walks that defer to the batched device drive
+        # (oversize windows, or the mesh path) stay in finish_chunk.
+        walked = None
+        if self._use_native_walks():
+            walked = self._partition_chunk(chunk, bseqs, read_chains, mtp)
+        return chunk, bseqs, read_chains, walked
 
     def _device_seed(self, chunk, mtp: Params):
         """One batched device seeding call for the whole chunk.
@@ -816,31 +828,37 @@ class Engine:
 
     __call__ = process_chunk
 
-    def finish_chunk(self, prepared, mtp: Params) -> List[TandemResult]:
-        chunk, bseqs, read_chains = prepared
-        results = [TandemResult() for _ in chunk]
-
-        # stage 2: partition walks. The walk's alignments are tiny
-        # (anchor-gap sized, ~34 bp mean on the headline workload), so
-        # when the native small-alignment kernel is available each walk
-        # resolves SYNCHRONOUSLY on the host — zero device rounds for the
-        # whole stage (a breadth-first device drive here costs one ~25 ms
-        # round trip per walk step). A walker that yields an oversize
-        # request defers, mid-walk, to the batched breadth-first device
-        # drive (left/right halves stay independent walkers there).
+    def _use_native_walks(self) -> bool:
+        """single-chip: resolve walks on the host (a ~25 ms device round
+        per ~34 bp walk step is the waste). Under a mesh the trade
+        flips — the 1-core host would serialize all chips' walks while
+        the breadth-first device drive amortizes each round across the
+        whole sharded chunk — so walks return to the device there
+        (override with TH_HOST_WALK=1/0)."""
         from .ops.ksw2_native import available as _native_ok
-        from .ops.ksw2_native import global_tleft_one, walk_right_native
 
-        # single-chip: resolve walks on the host (a ~25 ms device round
-        # per ~34 bp walk step is the waste). Under a mesh the trade
-        # flips — the 1-core host would serialize all chips' walks while
-        # the breadth-first device drive amortizes each round across the
-        # whole sharded chunk — so walks return to the device there
-        # (override with TH_HOST_WALK=1/0).
         hw_env = os.environ.get("TH_HOST_WALK", "")
-        use_native = _native_ok() and (
+        return _native_ok() and (
             hw_env == "1" or (hw_env != "0" and self.mesh is None)
         )
+
+    def _partition_chunk(self, chunk, bseqs, read_chains, mtp: Params):
+        """Stage 2 (host part): partition walks. The walk's alignments
+        are tiny (anchor-gap sized, ~34 bp mean on the headline
+        workload), so when the native small-alignment kernel is
+        available each walk resolves SYNCHRONOUSLY on the host — zero
+        device rounds for the whole stage (a breadth-first device drive
+        here costs one ~25 ms round trip per walk step). A walker that
+        yields an oversize request defers, mid-walk, to the batched
+        breadth-first device drive in finish_chunk (left/right halves
+        stay independent walkers there).
+
+        Returns (halves, walkers, walker_meta, chain_objs); `walkers`
+        holds only the deferred generators (empty on the non-native
+        path is impossible — callers gate on _use_native_walks)."""
+        from .ops.ksw2_native import global_tleft_one, walk_right_native
+
+        use_native = self._use_native_walks()
         cap = self.aligner.host_aln_cap
         walkers = []
         walker_meta = []
@@ -898,7 +916,20 @@ class Engine:
                         except StopIteration as stop:
                             halves[key] = stop.value
                             METRICS.add("host_aln", n_aln)
+        return halves, walkers, walker_meta, chain_objs
 
+    def finish_chunk(self, prepared, mtp: Params) -> List[TandemResult]:
+        chunk, bseqs, read_chains, walked = prepared
+        results = [TandemResult() for _ in chunk]
+
+        # stage 2: partition walks — host-walked in prepare_chunk on the
+        # single-chip native path (so they overlap the previous chunk's
+        # device rounds); computed here otherwise. Deferred oversize
+        # walkers resolve through the batched device drive either way.
+        if walked is None:
+            walked = self._partition_chunk(chunk, bseqs, read_chains, mtp)
+        halves, walkers, walker_meta, chain_objs = walked
+        with METRICS.timed("partition"):
             holder: Dict[int, List[int]] = {}
 
             def resolve_global(reqs):
