@@ -47,25 +47,3 @@ def test_jax_batch_matches_oracle(seed):
         assert gtle[b] == o[2]
         assert (mx[b], mt[b], mq[b]) == (o[3], o[4], o[5])
 
-
-def test_pallas_batch_matches_oracle():
-    # Pallas CPU lowering can be slow; keep the case small.
-    pytest.importorskip("jax.experimental.pallas")
-    import jax
-
-    if jax.default_backend() not in ("tpu", "cpu"):
-        pytest.skip("no backend")
-    from tidehunter_tpu.ops import ksw2_pallas
-
-    rng = np.random.default_rng(11)
-    q, qlen, t, tlen, qle, oracle = _make_batch(rng, 8, 128, 128)
-    try:
-        gsc, giden, gtle = ksw2_pallas.extz_global_batch(q, qlen, t, tlen, qle)
-        mx, mt, mq, sc = ksw2_pallas.extz_score_batch(q, qlen, t, tlen)
-    except Exception as exc:  # pragma: no cover - interpret-mode gaps
-        pytest.skip(f"pallas unavailable on this backend: {exc}")
-    for b, o in enumerate(oracle):
-        assert sc[b] == o[0] == gsc[b]
-        assert giden[b] == o[1]
-        assert gtle[b] == o[2]
-        assert (mx[b], mt[b], mq[b]) == (o[3], o[4], o[5])

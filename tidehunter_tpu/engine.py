@@ -9,7 +9,7 @@ requests with batched wavefront kernel calls, bucketed by length:
     -> encode + seed (vectorized NumPy)                      [host]
     -> chain DP (native C, exact)                            [host]
     -> partition walks, breadth-first across reads           [TPU batches]
-    -> consensus: star-MSA rounds + aveMatch + boundary ext  [TPU batches]
+    -> consensus: profile-POA MSA + aveMatch + boundary ext  [TPU batches]
     -> full-length adapters (Myers), record assembly         [host]
 
 Chain/region record order within a read is kept reference-identical by
@@ -37,7 +37,6 @@ from .io.output import TandemResult
 from .params import Params
 from .ops import ksw2
 from .ops.chaining_native import tandem_chain_from_dp, tandem_chain_native
-from .ops.msa_batch import star_msa_round
 from .ops.partition import (
     combine_walks,
     partition_walk_left,
@@ -54,9 +53,8 @@ from .utils.metrics import METRICS
 
 KSW2_SCORES = (ksw2.MATCH_SC, ksw2.MIS_SC, ksw2.GAP_OPEN, ksw2.GAP_EXT)
 
-# VMEM budget: B*T cells per Pallas call (see ops/ksw2_pallas.py)
+# VMEM budget: B*T cells per device batch (see ops/wavefront.py tile_b)
 CELL_CAP = 160_000
-MSA_ROUNDS = 2
 
 
 def _piecewise(idxs: List[int], BF: int, sub) -> List[Tuple[List[int], int]]:
@@ -123,15 +121,15 @@ class BatchAligner:
             backend == "tpu" or force
         )
         if self.use_wavefront:
-            from .ops import ksw2_pallas as kmod
             from .ops import wavefront
 
             self.wf = wavefront
+            self.kmod = None
         else:
             from .ops import ksw2_jax as kmod
 
             self.wf = None
-        self.kmod = kmod
+            self.kmod = kmod
         self.max_len = self.buckets[-1]
         # requests at or below this size (both sides) resolve host-side in
         # native C; 0 disables. Default covers the partition walk's window
@@ -368,32 +366,6 @@ class BatchAligner:
                 out[i] = (int(mq[row]), int(mt[row]))
         return out
 
-    def run_ops(self, reqs, scores):
-        """reqs: [(q, t)] -> [(ops_rl int8 array, n_steps)]"""
-        out: List = [None] * len(reqs)
-        groups, host = self._grouped(reqs)
-        for i in host:
-            q, t = reqs[i]
-            _, cigar = ksw2.global_with_cigar(q, t)  # scores divergence ok:
-            # host fallback only triggers beyond the largest bucket
-            ops = []
-            for length, op in reversed(cigar):
-                code = 0 if op == 0 else (1 if op == 2 else 2)
-                ops.extend([code] * length)
-            out[i] = (np.array(ops, np.int8), len(ops))
-        launched = []
-        for (LQ, LT), idxs in groups.items():
-            for sub in self._sub_batches(idxs, LQ, LT):
-                q, qlen, t, tlen = self._pad(reqs, sub, LQ, LT)
-                launched.append(
-                    (sub, self.kmod.extz_ops_batch(q, qlen, t, tlen, scores))
-                )
-        for sub, (_, ops, n) in launched:
-            ops = np.asarray(ops)
-            n = np.asarray(n)
-            for row, i in enumerate(sub):
-                out[i] = (ops[row], int(n[row]))
-        return out
 
 
 _LIVE_ENGINES: "weakref.WeakSet" = None  # type: ignore[assignment]
@@ -445,8 +417,9 @@ class Engine:
                  msa_mode: str = "profile", mesh=None):
         """msa_mode: 'profile' = batched device profile-POA (bit-exact with
         ops/poa_profile.py, matches or beats graph-POA accuracy),
-        'poa' = host oracles, 'star' = device star-MSA (legacy, weaker on
-        insertion recovery).
+        'poa' = host oracles. (The legacy device star-MSA mode was
+        deleted in round 4: CLI-unreachable and weaker on insertion
+        recovery — see git history for ops/msa_batch.py/ops/ksw2_pallas.py.)
 
         mesh: optional 1-D jax.sharding.Mesh ('dp'); when set, the
         production wavefront and device-MSA batches shard over it (the
@@ -462,13 +435,6 @@ class Engine:
         self.aligner = BatchAligner(platform, mtp.aln_bucket_sizes)
         m = mtp
         self.poa_scores = (m.match, -m.mismatch, m.gap_open1, m.gap_ext1)
-        # the star path's difference recurrence needs
-        # -min_sc <= 2*(gap_open+gap_ext); the profile kernel has no
-        # score constraints
-        self.poa_on_device = (
-            msa_mode == "star"
-            and m.mismatch <= 2 * (m.gap_open1 + m.gap_ext1)
-        )
         self._pool = None
         self._pool_n = 0
         self._gx_pool = None
@@ -577,34 +543,16 @@ class Engine:
         return out
 
     def _resolve_msa(self, regions: List[List[np.ndarray]]):
-        if self.msa_mode == "profile":
-            if self.aligner.use_wavefront:
-                return self._resolve_msa_device(regions)
-            # non-wavefront platforms take the bit-exact host oracle.
-            # (The legacy poa_pallas ping-pong path that used to live here
-            # was single-affine only and carried a known B>512 wrongness
-            # caveat; DeviceMSA is the production device MSA.)
-            return [
-                resolve_oracle(("msa", units), self.mtp)
-                for units in regions
-            ]
-        if not self.poa_on_device:
-            return [resolve_oracle(("msa", units), self.mtp) for units in regions]
-        templates = [units[0].astype(np.uint8) for units in regions]
-        cons = None
-        for _ in range(MSA_ROUNDS):
-            cons = star_msa_round(
-                regions,
-                templates,
-                lambda pairs: self.aligner.run_ops(pairs, self.poa_scores),
-            )
-            new_templates = []
-            for ri, (cb, cov) in enumerate(cons):
-                new_templates.append(
-                    cb if len(cb) > 0 else templates[ri]
-                )
-            templates = new_templates
-        return cons
+        if self.msa_mode == "profile" and self.aligner.use_wavefront:
+            return self._resolve_msa_device(regions)
+        # non-wavefront platforms (and msa_mode='poa') take the bit-exact
+        # host oracle.  (The legacy poa_pallas ping-pong path and the
+        # star-MSA mode that used to live here are deleted; DeviceMSA is
+        # the production device MSA.)
+        return [
+            resolve_oracle(("msa", units), self.mtp)
+            for units in regions
+        ]
 
     def _resolve_msa_device(self, regions: List[List[np.ndarray]]):
         """Device-resident profile-POA (ops/msa_device.py): all unit rounds

@@ -6,7 +6,7 @@ the platform's cost model: host<->device round trips cost ~25 ms each, so
 one call must process an arbitrarily large batch and return only a few
 words per problem.
 
-Design rules learned from kernel v1 (ops/ksw2_pallas.py):
+Design rules learned from kernel v1 (ksw2_pallas, deleted round 4 — git history):
 
 * **No cross-lane reductions inside the row loop.** Every jnp.sum/max over
   the [BT, T] lane axis costs more than the whole elementwise row update;
