@@ -733,6 +733,25 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
                 | jnp.left_shift(bc, 8)).astype(jnp.int32)
 
     @jax.jit
+    def consensus_step16(counts, n_placed, ncol, overflow, ev):
+        """int16 variant (coverage field in bits 7-14, max 255 < 2^15):
+        halves the per-batch pull bytes over the ~20-40 MB/s tunnel.
+        Callers use it only when every region has <= 255 units, so the
+        coverage (<= units placed) can't clip."""
+        B, T, _ = counts.shape
+        ci = jnp.arange(T)[None, :]
+        best = jnp.argmax(counts, axis=2)
+        bc = jnp.max(counts, axis=2)
+        occ = counts.sum(axis=2)
+        gaps = n_placed[:, None] - occ
+        keep = (bc > gaps) & (ci < ncol[:, None])
+        return (best
+                | jnp.where(keep, 8, 0)
+                | jnp.where(overflow[:, None], 16, 0)
+                | jnp.left_shift(ev, 5)[:, None]
+                | jnp.left_shift(bc, 7)).astype(jnp.int16)
+
+    @jax.jit
     def unpack_step(units_p):
         """Unpack the 2-bases-per-byte upload (values 0..4 in each
         nibble): units cross the ~40 MB/s tunnel at half width."""
@@ -742,7 +761,7 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         return jnp.stack([lo, hi], axis=-1).reshape(B, U, Th * 2)
 
     return (gather_step, scores_step, update_step, consensus_step,
-            init_step, polish_update, unpack_step,
+            consensus_step16, init_step, polish_update, unpack_step,
             (oi, ei, od, oi2, ei2, od2))
 
 
@@ -806,8 +825,8 @@ class DeviceMSA:
             gap_open2 = gap_open + gap_ext * (2 * self.buckets[-1] + 2)
             gap_ext2 = gap_ext
         (self.gather_step, self.scores_step, self.update_step,
-         self.consensus_step, self.init_step, self.polish_update,
-         self.unpack_step,
+         self.consensus_step, self.consensus_step16, self.init_step,
+         self.polish_update, self.unpack_step,
          (self.oi, self.ei, self.od, self.oi2, self.ei2, self.od2)
          ) = _build_jits(
             match, mismatch, gap_open, gap_ext, gap_open2, gap_ext2)
@@ -1128,11 +1147,17 @@ class DeviceMSA:
             counts = votes
             n_placed = nunits_dev32
 
+        if int(nunits.max()) <= 255:
+            return self.consensus_step16(counts, n_placed, ncol,
+                                         overflow, ev)
         return self.consensus_step(counts, n_placed, ncol, overflow, ev)
 
     def _collect_batch(self, dev, R, W=None):
         banded = W is not None
         packed = np.asarray(dev)
+        # coverage field position differs by pull width (consensus_step
+        # int32: bits 8+; consensus_step16: bits 7+, cov <= 255)
+        cov_shift = 7 if packed.dtype == np.int16 else 8
         out = []
         for i in range(R):
             row = packed[i]
@@ -1148,5 +1173,5 @@ class DeviceMSA:
                 continue
             kp = (row & 8) != 0
             out.append(((row[kp] & 7).astype(np.uint8),
-                        (row[kp] >> 8).astype(np.int64)))
+                        (row[kp] >> cov_shift).astype(np.int64)))
         return out
