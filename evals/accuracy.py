@@ -108,15 +108,19 @@ def evaluate(n_reads: int, device: str, configs, msa: str = "profile") -> int:
     import os
 
     if msa == "graph":
-        # graph-POA oracle (ops/poa.py) in place of the production
-        # profile-POA — the VERDICT r2 fidelity-gate comparison axis
+        # graph-POA (ops/poa.py numpy spec, native/poax.c C walk) in place
+        # of the production profile-POA — the fidelity comparison axis.
+        # With a device the engine runs msa_mode='poa' so everything
+        # except the MSA stays on the same (device) path as the profile
+        # axis — the comparison isolates the MSA model.
         os.environ["TH_MSA"] = "graph"
-        device = "off"
     mtp = Params()
     if device in ("tpu", "cpu"):
         from tidehunter_tpu.engine import make_engine
 
-        process = make_engine(mtp, platform=device)
+        process = make_engine(
+            mtp, platform=device,
+            msa_mode="poa" if msa == "graph" else "profile")
     else:
         from tidehunter_tpu.pipeline.core import tidehunter_core
 
@@ -168,8 +172,9 @@ def main(argv=None) -> int:
     ap.add_argument("--configs", default="all")
     ap.add_argument(
         "--msa", default="profile", choices=["profile", "graph"],
-        help="graph = score the graph-POA oracle (ops/poa.py) instead of "
-             "the production profile-POA (forces --device off)",
+        help="graph = score the graph-POA (native/poax.c walk of the "
+             "ops/poa.py spec) instead of the production profile-POA; "
+             "all other stages stay on the same --device path",
     )
     args = ap.parse_args(argv)
     if args.configs == "all":

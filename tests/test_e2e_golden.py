@@ -133,3 +133,31 @@ def test_min_cov_filter(test_data):
     assert got == ""
     got = run_cli(["-f", "2", "-r", "3", str(test_data / "test_50x4.fa")])
     assert len(got.splitlines()) == 1
+
+
+def test_msa_graph_cli(test_data, tmp_path, monkeypatch):
+    # --msa graph routes consensus through the graph-POA (native/poax.c);
+    # on the exact-repeat toy both models give the pinned record.
+    # setenv-then-delenv registers the original absence with monkeypatch,
+    # so the TH_MSA main() sets is rolled back after the test.
+    monkeypatch.setenv("TH_MSA", "x")
+    monkeypatch.delenv("TH_MSA")
+    from tidehunter_tpu import cli
+
+    out = tmp_path / "g.tab"
+    rc = cli.main(["-f", "2", "--msa", "graph", "--device", "off",
+                   "-o", str(out), str(test_data / "test_50x4.fa")])
+    assert rc == 0
+    assert out.read_text() == (
+        "test_50x4\trep0\t4.0\t300\t51\t250\t50\t100.0\t0\t"
+        "59,109,159,208\t"
+        "CGATCGATCGGCATGCATGCATGCTAGTCGATGCATCGGGATCAGCTAGT\n"
+    )
+
+
+def test_msa_flag_validation(capsys):
+    from tidehunter_tpu import cli
+
+    rc = cli.main(["-f", "2", "--msa", "bogus", "nosuch.fa"])
+    assert rc == 1
+    assert "--msa needs profile|graph" in capsys.readouterr().err

@@ -88,6 +88,9 @@ def usage() -> int:
     e("                            into this directory for the run [off]\n")
     e("    --polish INT            consensus refinement rounds (realign units to the\n")
     e("                            final profile; improves low-coverage accuracy) [0]\n")
+    e("    --msa STR               consensus model: profile (batched device\n")
+    e("                            profile-POA) | graph (host graph-POA, the\n")
+    e("                            abPOA-faithful model, native C) [profile]\n")
     e("    --shard I/N             process reads I, I+N, I+2N, ... (multi-host data\n")
     e("                            parallelism; auto from jax.distributed) [0/1]\n")
     e("    --dist HOST:PORT/N/I    bootstrap jax.distributed: coordinator address,\n")
@@ -136,7 +139,7 @@ def parse_args(argv: List[str]):
     mtp = Params()
     extra = {"device": "tpu", "resume": None, "output": None,
              "metrics": None, "shard": None, "profile": None,
-             "dist": None}
+             "dist": None, "msa": "profile"}
     pos: List[str] = []
     i = 0
     n = len(argv)
@@ -182,6 +185,16 @@ def parse_args(argv: List[str]):
                     f"\n[main] Error: --polish needs an integer, got '{val}'.\n"
                 )
                 return 1
+        elif tok == "--msa":
+            val = need_arg(tok)
+            if val is None:
+                return 1
+            if val not in ("profile", "graph"):
+                sys.stderr.write(
+                    f"\n[main] Error: --msa needs profile|graph, got '{val}'.\n"
+                )
+                return 1
+            extra["msa"] = val
         elif tok == "--shard":
             val = need_arg(tok)
             if val is None:
@@ -414,12 +427,20 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from .pipeline import runner
 
+    if extra["msa"] == "graph":
+        # graph-POA consensus (the abPOA-faithful model): resolved on host
+        # via native/poax.c; the engine keeps every other stage on its
+        # normal device path (msa_mode='poa' routes only the MSA here)
+        os.environ["TH_MSA"] = "graph"
+
     process_chunk = None
     if extra["device"] in ("tpu", "cpu"):
         try:
             from .engine import make_engine
 
-            process_chunk = make_engine(mtp, platform=extra["device"])
+            process_chunk = make_engine(
+                mtp, platform=extra["device"],
+                msa_mode="poa" if extra["msa"] == "graph" else "profile")
         except Exception as exc:  # noqa: BLE001 - fall back to oracle path
             log(f"device engine unavailable ({exc}); using host oracle path")
 

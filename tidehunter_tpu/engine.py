@@ -993,7 +993,8 @@ def _drive_collect(gens, resolver, holder: Dict[int, object]) -> None:
                 holder[kk] = stop.value
 
 
-def make_engine(mtp: Params, platform: str = "tpu", mesh=None) -> Engine:
+def make_engine(mtp: Params, platform: str = "tpu", mesh=None,
+                msa_mode: str = "profile") -> Engine:
     """Returns the Engine; it is callable as process_chunk(chunk, mtp) and
     additionally exposes prepare_chunk/finish_chunk for the pipelined
     runner (host work of chunk N+1 overlaps device work of chunk N).
@@ -1012,7 +1013,7 @@ def make_engine(mtp: Params, platform: str = "tpu", mesh=None) -> Engine:
                 mesh = make_mesh(n)
         except Exception:  # noqa: BLE001
             mesh = None
-    engine = Engine(mtp, platform, mesh=mesh)
+    engine = Engine(mtp, platform, msa_mode=msa_mode, mesh=mesh)
     log(
         f"device engine ready (platform={platform}"
         + (f", mesh=dp:{mesh.devices.size}" if mesh is not None else "")

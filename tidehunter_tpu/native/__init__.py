@@ -17,7 +17,7 @@ from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "chainx.c"), os.path.join(_DIR, "seedx.c"),
-         os.path.join(_DIR, "alignx.c")]
+         os.path.join(_DIR, "alignx.c"), os.path.join(_DIR, "poax.c")]
 _LIB = os.path.join(_DIR, "libchainx.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -90,5 +90,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                   ctypes.c_int64, ctypes.c_int64,
                                   ctypes.c_double, ctypes.c_int64,
                                   ctypes.c_void_p, ctypes.c_int64]
+    lib.th_poa_msa.restype = ctypes.c_int64
+    lib.th_poa_msa.argtypes = [u8p, i64p, ctypes.c_int64,
+                               ctypes.c_int64, ctypes.c_int64,
+                               ctypes.c_int64, ctypes.c_int64,
+                               ctypes.c_int64, ctypes.c_int64,
+                               u8p, i64p, ctypes.c_int64]
     _lib = lib
     return _lib

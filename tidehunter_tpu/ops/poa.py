@@ -359,7 +359,60 @@ def msa_consensus(
     """POA MSA + majority consensus of unit sequences.
 
     Returns (cons_bases uint8, per-base coverage int64).
+
+    Dispatches to the native C walk (native/poax.c, bit-exact with the
+    NumPy implementation below — parity fuzz-pinned by
+    tests/test_poa_native.py); set TH_POA_NATIVE=0 to force NumPy.
     """
+    import os
+
+    if os.environ.get("TH_POA_NATIVE", "1") != "0":
+        res = _msa_consensus_native(
+            units, match, mismatch, gap_open1, gap_ext1, gap_open2, gap_ext2)
+        if res is not None:
+            return res
+    return msa_consensus_py(
+        units, match, mismatch, gap_open1, gap_ext1, gap_open2, gap_ext2)
+
+
+def _msa_consensus_native(units, match, mismatch, gap_open1, gap_ext1,
+                          gap_open2, gap_ext2):
+    import ctypes
+
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    lens = np.array([len(u) for u in units], dtype=np.int64)
+    if len(lens) == 0 or (lens <= 0).any():
+        return None
+    seqs = np.concatenate(
+        [np.ascontiguousarray(np.asarray(u, dtype=np.uint8)) for u in units])
+    total = int(lens.sum())
+    cons = np.empty(total, dtype=np.uint8)
+    cov = np.empty(total, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = lib.th_poa_msa(
+        seqs.ctypes.data_as(u8p), lens.ctypes.data_as(i64p), len(lens),
+        match, mismatch, gap_open1, gap_ext1, gap_open2, gap_ext2,
+        cons.ctypes.data_as(u8p), cov.ctypes.data_as(i64p), total)
+    if n < 0:
+        return None
+    return cons[:n].copy(), cov[:n].copy()
+
+
+def msa_consensus_py(
+    units: List[np.ndarray],
+    match: int,
+    mismatch: int,
+    gap_open1: int,
+    gap_ext1: int,
+    gap_open2: int,
+    gap_ext2: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """NumPy reference implementation (the behavioral spec of th_poa_msa)."""
     g = PoaGraph(match, mismatch, gap_open1, gap_ext1, gap_open2, gap_ext2)
     g.add_first(np.asarray(units[0], dtype=np.uint8))
     for u in units[1:]:
