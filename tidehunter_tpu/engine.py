@@ -666,10 +666,33 @@ class Engine:
     def _device_seed(self, chunk, mtp: Params):
         """One batched device seeding call for the whole chunk.
 
-        Shapes stay finite: L pads to the next power of two (>= 1024) and
-        B to the next multiple of 64 * mesh_n; rows shard over the 'dp'
-        mesh when installed (row-independent sort dataflow — no
-        collectives)."""
+        Fast path (ops/offload.py, default whenever the packed-key
+        envelope fits — k <= 8-ish at these read lengths): ONE fused
+        seed+chain dispatch, packed 4-bases/byte upload, two packed
+        result planes pulled once.  TH_OFFLOAD_V1=1 forces the round-4
+        separate-dispatch path below (kept as the general-envelope
+        fallback: k up to 16, reads past the packed-position range).
+
+        Shapes stay finite: L pads to the read-length ladder
+        (offload.len_bucket — pow2 + 1.5x midpoints) or the next power of
+        two (v1), and B to the next multiple of 64 * mesh_n; rows shard
+        over the 'dp' mesh when installed (row-independent sort dataflow
+        — no collectives)."""
+        from .ops import offload
+
+        maxL = max((len(r.seq) for r in chunk), default=1)
+        if (
+            os.environ.get("TH_OFFLOAD_V1", "") != "1"
+            and offload.supported(mtp.k, maxL)
+        ):
+            bseqs = [
+                encode(rec.seq) if len(rec.seq) >= mtp.k else None
+                for rec in chunk
+            ]
+            hits, chains = offload.device_seed_chain(
+                bseqs, mtp, mesh=self.mesh)
+            return hits, chains
+
         import jax.numpy as jnp
 
         from .ops.seeding_jax import collect_hits_batch

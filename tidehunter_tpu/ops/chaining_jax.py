@@ -111,6 +111,10 @@ def chain_dp_batch(
     idxW = jnp.arange(W, dtype=jnp.int32)[None, :]  # lane w: p = cur - W + w
 
     def step(scoreP, cur):
+        # (cells at cur >= n_hits[row] are computed but never consumed:
+        # every caller slices row outputs to [:n_hits]; the while_loop
+        # below therefore stops at the batch-wide max n_hits instead of
+        # sweeping all L padded columns)
         # cur-cell fields [B, 1]
         ce = lax.dynamic_slice_in_dim(endsP, cur + W, 1, axis=1)
         cs = lax.dynamic_slice_in_dim(startsP, cur + W, 1, axis=1)
@@ -171,14 +175,25 @@ def chain_dp_batch(
         )
         return scoreP, (new_from[:, 0], incomplete[:, 0])
 
-    scoreP, (from_cols, inc_cols) = lax.scan(
-        step, scoreP0, jnp.arange(1, L, dtype=jnp.int32)
+    maxcur = jnp.max(n_hits)
+
+    def cond(state):
+        cur, _, _, _ = state
+        return cur < maxcur
+
+    def body(state):
+        cur, scoreP, from_all, inc = state
+        scoreP, (new_from, incomplete) = step(scoreP, cur)
+        from_all = lax.dynamic_update_slice_in_dim(
+            from_all, new_from[:, None], cur, axis=1)
+        inc = inc | (incomplete & (cur < n_hits))
+        return cur + 1, scoreP, from_all, inc
+
+    _, scoreP, from_idx, inc = lax.while_loop(
+        cond, body,
+        (jnp.int32(1), scoreP0,
+         jnp.full((B, L), -1, jnp.int32), jnp.zeros(B, bool)),
     )
     score = scoreP[:, W:]
-    from_idx = jnp.concatenate(
-        [jnp.full((B, 1), -1, jnp.int32), from_cols.T.astype(jnp.int32)],
-        axis=1,
-    )
-    real_cur = (jnp.arange(1, L, dtype=jnp.int32)[None, :]) < n_hits[:, None]
-    fallback = gate | jnp.any(inc_cols.T & real_cur, axis=1)
+    fallback = gate | inc
     return score, from_idx, fallback

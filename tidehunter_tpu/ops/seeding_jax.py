@@ -69,34 +69,11 @@ def _hpc_compact(bseq: jnp.ndarray, length: jnp.ndarray):
     return stream, pos_sorted, stream_len
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "use_hpc", "min_p", "max_p", "w"))
-def collect_hits_batch(
-    bseq: jnp.ndarray,
-    length: jnp.ndarray,
-    *,
-    k: int,
-    use_hpc: bool,
-    min_p: int,
-    max_p: int,
-    w: int = 1,
-):
-    """Batched collect_tandem_repeat_hit (tandem_hit.c:227-237).
-
-    bseq: [B, L] uint8 encoded reads (0..3 bases, 4 = N; pad with 4).
-    length: [B] int32 read lengths.
-    Returns (ends [B, L] int32, periods [B, L] int32, n_hits [B] int32,
-    fallback [B] bool); rows are sorted by (end, period) with INT32_MAX
-    sentinels past n_hits.
-
-    w > 1 runs minimizer seeding via the two sliding-extrema passes of
-    the host reformulation (ops/seeding.minimizer_hash_vec): a k-mer is
-    emitted iff its key equals the minimum of some window of w
-    consecutive k-mers (ties included).  Reads outside that
-    reformulation's preconditions — any N, an HPC k-mer span >= 255, or
-    fewer than w k-mers — get fallback=True (their rows are garbage) and
-    the caller reroutes them through the exact host path.
-    """
+def _keys_valid_positions(bseq, length, *, k, use_hpc, w):
+    """Shared front half of the seeder: rolling keys + validity mask +
+    (minimizer selection when w > 1).  Returns (key [B, L] uint32,
+    positions [B, L] int32 read positions, valid [B, L] bool,
+    fallback [B] bool)."""
     B, L = bseq.shape
     length = length.astype(jnp.int32)
     if use_hpc:
@@ -169,6 +146,40 @@ def collect_hits_batch(
         valid = valid & (cover == okey)
     else:
         fallback = jnp.zeros(B, bool)
+    return key, positions, valid, fallback
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "use_hpc", "min_p", "max_p", "w"))
+def collect_hits_batch(
+    bseq: jnp.ndarray,
+    length: jnp.ndarray,
+    *,
+    k: int,
+    use_hpc: bool,
+    min_p: int,
+    max_p: int,
+    w: int = 1,
+):
+    """Batched collect_tandem_repeat_hit (tandem_hit.c:227-237).
+
+    bseq: [B, L] uint8 encoded reads (0..3 bases, 4 = N; pad with 4).
+    length: [B] int32 read lengths.
+    Returns (ends [B, L] int32, periods [B, L] int32, n_hits [B] int32,
+    fallback [B] bool); rows are sorted by (end, period) with INT32_MAX
+    sentinels past n_hits.
+
+    w > 1 runs minimizer seeding via the two sliding-extrema passes of
+    the host reformulation (ops/seeding.minimizer_hash_vec): a k-mer is
+    emitted iff its key equals the minimum of some window of w
+    consecutive k-mers (ties included).  Reads outside that
+    reformulation's preconditions — any N, an HPC k-mer span >= 255, or
+    fewer than w k-mers — get fallback=True (their rows are garbage) and
+    the caller reroutes them through the exact host path.
+    """
+    B, L = bseq.shape
+    key, positions, valid, fallback = _keys_valid_positions(
+        bseq, length, k=k, use_hpc=use_hpc, w=w)
 
     # --- self-hit pairing via merge ----------------------------------
     # records: 2L per read.  sort keys (lexicographic, num_keys=3):
@@ -214,6 +225,82 @@ def collect_hits_batch(
     e_sorted, p_sorted = lax.sort((ends, periods), num_keys=2)
     n_hits = jnp.sum(hit_ok, axis=1).astype(jnp.int32)
     return e_sorted[:, :L], p_sorted[:, :L], n_hits, fallback
+
+
+def pos_bits(L: int) -> int:
+    """Bits needed for a read position in [0, L)."""
+    return max(1, int(L - 1).bit_length())
+
+
+def packed_ok(k: int, L: int) -> bool:
+    """The single-uint32-key seeding path fits iff key (2k bits) + pos
+    (pos_bits) stay strictly below the 0xFFFFFFFF sentinel, and a hit
+    (end, period) pair packs the same way."""
+    pb = pos_bits(L)
+    return (2 * k + pb <= 31) and (2 * pb <= 31)
+
+
+def collect_hits_packed(
+    bseq: jnp.ndarray,
+    length: jnp.ndarray,
+    *,
+    k: int,
+    use_hpc: bool,
+    min_p: int,
+    max_p: int,
+    w: int = 1,
+):
+    """Packed-key variant of collect_hits_batch for the offload fast path
+    (requires packed_ok(k, L)).
+
+    Same semantics, ~4x cheaper sort dataflow: seeds pack into ONE uint32
+    (key << pos_bits | pos) so the pairing sort is a single-operand sort
+    over L records (not 4 operands over 2L), the nearest-earlier-occurrence
+    query is a branchless binary search (13 gathers) — the very dataflow of
+    the host oracle (ops/seeding.collect_hits, searchsorted) — and the
+    final (end, period) order falls out of one more single-operand sort of
+    the packed hits, which doubles as the compact pull format.
+
+    Returns (packed_hits [B, L] uint32 = end << pos_bits | period, sorted
+    ascending = (end, period) order with 0xFFFFFFFF sentinels, n_hits [B]
+    int32, fallback [B] bool).  NOTE: ends are unique per read (one query
+    per position), so the (end, period) sort equals the plain packed sort.
+    """
+    B, L = bseq.shape
+    pb = pos_bits(L)
+    pmask = jnp.uint32((1 << pb) - 1)
+    UINT32_MAX = jnp.uint32(0xFFFFFFFF)
+    key, positions, valid, fallback = _keys_valid_positions(
+        bseq, length, k=k, use_hpc=use_hpc, w=w)
+
+    posu = positions.astype(jnp.uint32)
+    pk = jnp.where(valid, (key << pb) | posu, UINT32_MAX)
+    (so,) = lax.sort((pk,), num_keys=1)
+
+    # rightmost sorted record <= (key, pos - min_p): branchless binary
+    # search over counts (cnt = #records <= target; idx = cnt - 1)
+    q_ok = valid & (positions >= min_p)
+    tgt = jnp.where(
+        q_ok, (key << pb) | (posu - jnp.uint32(min_p)), jnp.uint32(0))
+    cnt = jnp.zeros((B, L), jnp.int32)
+    step = 1 << (L - 1).bit_length()
+    while step:
+        cand = cnt + step
+        v = jnp.take_along_axis(so, jnp.minimum(cand, L) - 1, axis=1)
+        ok = (cand <= L) & (v <= tgt)
+        cnt = jnp.where(ok, cand, cnt)
+        step >>= 1
+    found = cnt > 0
+    rec = jnp.take_along_axis(so, jnp.maximum(cnt - 1, 0), axis=1)
+    same_key = found & ((rec >> pb) == key)
+    period = positions - (rec & pmask).astype(jnp.int32)
+    hit_ok = q_ok & same_key & (period <= max_p)
+
+    ph = jnp.where(
+        hit_ok, (posu << pb) | period.astype(jnp.uint32), UINT32_MAX)
+    (ph_sorted,) = lax.sort((ph,), num_keys=1)
+    n_hits = jnp.sum(hit_ok, axis=1).astype(jnp.int32)
+    return ph_sorted, n_hits, fallback
 
 
 def collect_hits_batch_host(
