@@ -184,7 +184,9 @@ def main() -> int:
     # Best of BENCH_REPS measured passes: the tunnel's epoch-to-epoch
     # drift exceeded its ±10% run-to-run variance in round 2 (RESULTS.md),
     # and interference can only slow a pass down — max is the honest
-    # steady-state estimator. Per-rep times go to the detail line.
+    # steady-state estimator. Per-rep times go to the detail line, and the
+    # median rides along in the JSON so round-over-round deltas aren't
+    # variance-sensitive (ADVICE r4).
     reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     rep_dts = []
     rep_snaps = []
@@ -203,6 +205,7 @@ def main() -> int:
         prev = cur
     dt = min(rep_dts)
     reads_per_s = n_reads / dt
+    median_rps = n_reads / sorted(rep_dts)[len(rep_dts) // 2]
     os.unlink(fa.name)
 
     # Measured CPU reference baseline (BASELINE.md, round 2): the reference's
@@ -253,17 +256,42 @@ def main() -> int:
         lines.append(f"rounds={s['rounds']:g}")
     if lines:
         print("# kernels: " + "; ".join(lines), file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "reads/s/chip, synthetic ONT R2C2 4.3kb (450bp x9, 10% err), full pipeline",
-                "value": round(reads_per_s, 3),
-                "unit": "reads/s",
-                "vs_baseline": round(reads_per_s / base_reads_per_s, 2),
-                "vs_t32": round(reads_per_s / base_reads_per_s_32t, 4),
-            }
+
+    # Second tracked axis (VERDICT r4 missing #3): real ONT reads
+    # (reference test.fq, 100 reads, periods 0.1-3.1 kb) through the same
+    # warmup + best-of-reps harness.  Reference C stages on this workload:
+    # 173.6 reads/s at 1 thread (BASELINE.md).  TH_SKIP_TESTFQ=1 skips.
+    testfq_rps = None
+    testfq = "/root/reference/test.fq"
+    if os.environ.get("TH_SKIP_TESTFQ", "") != "1" and os.path.exists(testfq):
+        mtp_fq = Params()
+        mtp_fq.chunk_read_n = 50
+        runner.run(testfq, mtp_fq, out=io.StringIO(), process_chunk=engine)
+        fq_dts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            runner.run(testfq, mtp_fq, out=io.StringIO(),
+                       process_chunk=engine)
+            fq_dts.append(time.perf_counter() - t0)
+        testfq_rps = 100 / min(fq_dts)
+        print(
+            f"# test.fq reps: {' '.join(f'{100 / d:.1f}' for d in fq_dts)} "
+            f"reads/s (C reference 1-thread: 173.6)",
+            file=sys.stderr,
         )
-    )
+
+    out = {
+        "metric": "reads/s/chip, synthetic ONT R2C2 4.3kb (450bp x9, 10% err), full pipeline",
+        "value": round(reads_per_s, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / base_reads_per_s, 2),
+        "vs_t32": round(reads_per_s / base_reads_per_s_32t, 4),
+        "median": round(median_rps, 3),
+    }
+    if testfq_rps is not None:
+        out["testfq_reads_per_s"] = round(testfq_rps, 3)
+        out["testfq_vs_t1"] = round(testfq_rps / 173.6, 2)
+    print(json.dumps(out))
     return 0
 
 

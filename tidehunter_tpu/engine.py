@@ -689,8 +689,19 @@ class Engine:
                 encode(rec.seq) if len(rec.seq) >= mtp.k else None
                 for rec in chunk
             ]
+            # hybrid default: device seeds, the prepare pool chains
+            # (native C, GIL-releasing, overlaps device work).  The
+            # measured full-window device chain costs 1.5-2.1 ms/read vs
+            # the host chainer's 0.27 (evals/hw_r05/offload_micro2.log);
+            # TH_DEVICE_CHAIN=1 opts into it for hosts that cannot chain
+            # for all their chips.
+            chain_mode = (
+                "device"
+                if os.environ.get("TH_DEVICE_CHAIN", "") == "1"
+                else "host"
+            )
             hits, chains = offload.device_seed_chain(
-                bseqs, mtp, mesh=self.mesh)
+                bseqs, mtp, mesh=self.mesh, chain_mode=chain_mode)
             return hits, chains
 
         import jax.numpy as jnp
