@@ -1,64 +1,53 @@
 #!/bin/bash
-# Hardware measurement round: run after the TPU tunnel is confirmed up
-# (python -c "import jax; print(jax.devices())" returns an axon device).
-# Produces, under evals/hw_r03/:
-#   bench.json/.log  headline bench + tpu_smoke + stage/Gcell attribution
-#   ab_offload.log   A/B: seed+chain on device vs host (single chip)
-#   chunk_sweep.log  chunk-size sensitivity (1024-read workload)
-#   testfq.log       real-ONT (test.fq) steady-state timing
-#   sweep.log        full 15-config x 1000-read paper accuracy protocol
-# Steps are ordered by round-gate priority (the >=1000 reads/s bench gate
-# first, the long accuracy sweep last) and each is independently
-# resumable; a dead tunnel mid-run leaves the completed logs in place.
-# NOTE: the tunnel is single-tenant — stop any probe loop / other JAX
-# process before running this.
+# Round-5 hardware measurement round: run after the TPU tunnel is
+# confirmed up (python -c "import jax; print(jax.devices())" returns an
+# axon device in seconds, not minutes).  Produces, under evals/hw_r05/:
+#   bench.json/.log      headline bench + tpu_smoke + test.fq metric +
+#                        stage/Gcell attribution (async MSA pull, new
+#                        sub_b ladder in effect)
+#   ab_offload.log       A/B: default / hybrid (device seed + host chain)
+#                        / full device seed+chain
+#   offload_micro2.log   fused-offload stage decomposition (quarter-block
+#                        unpack, packed-key seed, full-window chain)
+#   dtype_micro.log      VPU dtype/SWAR roofline column (VERDICT r4 #3)
+#   msa_micro.log        DeviceMSA step split (scores/DP/backtrack/update)
+#   mesh_overhead.log    TH_MESH=-1 (forced 1-chip mesh) vs meshless
+# Steps ordered by round-gate priority; each independently resumable.
+# NOTE: the tunnel is single-tenant — stop any probe/bench process first.
 set -u
 cd "$(dirname "$0")/.."
-OUT=evals/hw_r04
+OUT=evals/hw_r05
 mkdir -p "$OUT"
 
-# If the CPU insurance sweep (evals/sweep_cpu.sh) is running, stop it by
-# its recorded exact pgid — the 1-core host cannot time hardware runs
-# while it contends.
-if [ -f /tmp/cpu_sweep.pid ]; then
-  SWEEP_PID=$(cat /tmp/cpu_sweep.pid)
-  if kill -0 "$SWEEP_PID" 2>/dev/null; then
-    kill -- -"$SWEEP_PID" 2>/dev/null || kill "$SWEEP_PID" 2>/dev/null
-    for i in $(seq 1 24); do
-      kill -0 "$SWEEP_PID" 2>/dev/null || break
-      sleep 5
-    done
-  fi
-  rm -f /tmp/cpu_sweep.pid
-fi
-
-echo "== bench (1024 reads, default chunk; includes tpu_smoke) =="
+echo "== bench (1024 reads; includes tpu_smoke + test.fq metric) =="
 python bench.py >"$OUT/bench.json" 2>"$OUT/bench.log"
-tail -5 "$OUT/bench.log"; cat "$OUT/bench.json"
+tail -8 "$OUT/bench.log"; cat "$OUT/bench.json"
 
-echo "== A/B: host-floor offload levers (tpu_smoke skipped) =="
-for ab in "TH_DEVICE_SEED=1 TH_DEVICE_CHAIN=1" "TH_DEVICE_SEED=1" ""; do
-  echo "--- env: ${ab:-default} ---" | tee -a "$OUT/ab_offload.log"
-  env $ab TH_SKIP_TPU_SMOKE=1 python bench.py \
+echo "== A/B: offload modes (tpu_smoke/test.fq skipped) =="
+: >"$OUT/ab_offload.log"
+for ab in "" "TH_DEVICE_SEED=1" "TH_DEVICE_SEED=1 TH_DEVICE_CHAIN=1"; do
+  echo "--- env: ${ab:-default(host seed+chain)} ---" | tee -a "$OUT/ab_offload.log"
+  env $ab TH_SKIP_TPU_SMOKE=1 TH_SKIP_TESTFQ=1 python bench.py \
     2>>"$OUT/ab_offload.log" | tee -a "$OUT/ab_offload.log"
 done
 
-echo "== VPU dtype/SWAR microbench (lane-packing evidence) =="
+echo "== fused offload stage decomposition =="
+timeout 900 python evals/offload_micro2.py 512 >"$OUT/offload_micro2.log" 2>&1
+grep -v WARNING "$OUT/offload_micro2.log"
+
+echo "== VPU dtype/SWAR roofline column =="
 timeout 900 python evals/dtype_micro.py 2>&1 | tee "$OUT/dtype_micro.log"
 
-echo "== chunk sweep (tpu_smoke skipped; warmed cache per process) =="
-for c in 256 512 1024; do
-  echo "--- chunk=$c ---" | tee -a "$OUT/chunk_sweep.log"
-  TH_SKIP_TPU_SMOKE=1 BENCH_CHUNK=$c python bench.py \
-    2>>"$OUT/chunk_sweep.log" | tee -a "$OUT/chunk_sweep.log"
+echo "== DeviceMSA step split =="
+timeout 900 python evals/msa_micro.py 512 >"$OUT/msa_micro.log" 2>&1
+grep -v WARNING "$OUT/msa_micro.log"
+
+echo "== 1-chip mesh overhead A/B =="
+: >"$OUT/mesh_overhead.log"
+for ab in "TH_MESH=1" "TH_MESH=-1"; do
+  echo "--- env: $ab ---" | tee -a "$OUT/mesh_overhead.log"
+  env $ab TH_SKIP_TPU_SMOKE=1 TH_SKIP_TESTFQ=1 BENCH_REPS=2 python bench.py \
+    2>>"$OUT/mesh_overhead.log" | tee -a "$OUT/mesh_overhead.log"
 done
-
-echo "== test.fq steady state =="
-( time python -m tidehunter_tpu.cli -f 2 /root/reference/test.fq \
-    -o "$OUT/testfq.out" ) 2>&1 | tee "$OUT/testfq.log"
-
-echo "== 15-config accuracy sweep (1000 reads/config) =="
-python evals/accuracy.py --reads 1000 --device tpu \
-  2>&1 | tee "$OUT/sweep.log"
 
 echo "done; update evals/RESULTS.md from $OUT"

@@ -1035,16 +1035,17 @@ def make_engine(mtp: Params, platform: str = "tpu", mesh=None,
 
     mesh: explicit 1-D 'dp' Mesh, or None to auto-build one over all
     local devices when more than one is visible (TH_MESH=n overrides the
-    device count; TH_MESH=1 disables auto-meshing)."""
+    device count; TH_MESH=1 disables auto-meshing; TH_MESH=-n forces an
+    n-device mesh even for n=1 — the mesh-overhead A/B knob)."""
     if mesh is None and platform in ("tpu", "cpu"):
         try:
             import jax
 
             n = int(os.environ.get("TH_MESH", "0")) or len(jax.devices())
-            if n > 1:
+            if n > 1 or n < 0:
                 from .parallel.mesh import make_mesh
 
-                mesh = make_mesh(n)
+                mesh = make_mesh(abs(n))
         except Exception:  # noqa: BLE001
             mesh = None
     engine = Engine(mtp, platform, msa_mode=msa_mode, mesh=mesh)
