@@ -62,10 +62,11 @@ def main() -> int:
 
     @jax.jit
     def unpack(b, length):
-        BB = b.shape[0]
-        bases = jnp.stack(
-            [b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=-1
-        ).reshape(BB, L)
+        # quarter-block layout: unpack = lane concat (matches
+        # offload.pack_reads; the old interleaved stack/reshape was a
+        # 0.8 ms/read relayout)
+        bases = jnp.concatenate(
+            [b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=1)
         idx = jnp.arange(L, dtype=jnp.int32)[None, :]
         return jnp.where(idx < length[:, None], bases, jnp.uint8(4))
 
@@ -90,6 +91,65 @@ def main() -> int:
     ph_d, n_d, fb_d = tmin("seed packed (resident)", seed)
     cnt = np.asarray(n_d)
     print(f"# hits: mean={cnt.mean():.0f} max={cnt.max()}")
+
+    # --- seed sub-decomposition: keys / sort1 / bsearch / sort2 ---
+    from tidehunter_tpu.ops.seeding_jax import _keys_valid_positions
+
+    @jax.jit
+    def s_keys(b, l):
+        key, positions, valid, fb = _keys_valid_positions(
+            b, l, k=mtp.k, use_hpc=bool(mtp.hpc), w=mtp.w)
+        posu = positions.astype(jnp.uint32)
+        pk = jnp.where(valid, (key << pb) | posu, jnp.uint32(0xFFFFFFFF))
+        return pk, key, positions, valid
+
+    def keys():
+        out = s_keys(bases_d, lens_d)
+        force(out[0])
+        return out
+
+    keys()
+    pk_dd, key_d, pos_d, valid_d = tmin("  seed: keys+pack", keys)
+
+    from jax import lax
+
+    @jax.jit
+    def s_sort(pk):
+        (so,) = lax.sort((pk,), num_keys=1)
+        return so
+
+    def sort1():
+        out = s_sort(pk_dd)
+        force(out)
+        return out
+
+    sort1()
+    so_d = tmin("  seed: sort L x u32", sort1)
+
+    @jax.jit
+    def s_bsearch(so, key, positions, valid):
+        posu = positions.astype(jnp.uint32)
+        q_ok = valid & (positions >= mtp.min_p)
+        tgt = jnp.where(
+            q_ok, (key << pb) | (posu - jnp.uint32(mtp.min_p)),
+            jnp.uint32(0))
+        cnt2 = jnp.zeros(so.shape, jnp.int32)
+        step = 1 << (L - 1).bit_length()
+        while step:
+            cand = cnt2 + step
+            v = jnp.take_along_axis(so, jnp.minimum(cand, L) - 1, axis=1)
+            ok = (cand <= L) & (v <= tgt)
+            cnt2 = jnp.where(ok, cand, cnt2)
+            step >>= 1
+        return cnt2
+
+    def bs():
+        out = s_bsearch(so_d, key_d, pos_d, valid_d)
+        force(out)
+        return out
+
+    bs()
+    tmin("  seed: bsearch (14 gathers)", bs)
     hit_cap = L // 2
 
     @jax.jit

@@ -605,7 +605,13 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
     @functools.partial(jax.jit, static_argnames=("lqplus",))
     def scores_step(counts, n_placed, ncol, unit_k, lqplus):
         """Substitution scores + deletion prefix sums from counts, plus
-        the round's unit padded into the DP's query buffer."""
+        the round's unit padded into the DP's query buffer.  counts
+        arrives int16 (base counts <= n units; the whole-pipeline cap is
+        32k units/region) — the fixed-point score arithmetic widens it
+        here, and halving the counts tensor's bytes nearly halves the
+        gather-bound update_step (measured 5 ms of the 10.8 ms round,
+        evals/hw_r05/msa_micro.log)."""
+        counts = counts.astype(jnp.int32)
         B, T, _ = counts.shape
         ci = jnp.arange(T)[None, :]
         occ = counts.sum(axis=2)
@@ -653,12 +659,12 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         base = jnp.take_along_axis(
             unit, jnp.clip(qp, 0, unit.shape[1] - 1), axis=1)
         base = jnp.where(consumes_q, base, 5)
-        onehot = jax.nn.one_hot(base, 5, dtype=jnp.int32)        # [B, T, 5]
+        onehot = jax.nn.one_hot(base, 5, dtype=jnp.int16)        # [B, T, 5]
 
         colz = jnp.clip(col - 1, 0, T - 1)
         old = jnp.take_along_axis(counts, colz[:, :, None], axis=1)
-        old = jnp.where(consumes_c[:, :, None], old, 0)
-        new = old + jnp.where(valid[:, :, None], onehot, 0)
+        old = jnp.where(consumes_c[:, :, None], old, jnp.int16(0))
+        new = old + jnp.where(valid[:, :, None], onehot, jnp.int16(0))
 
         nsteps = nst[:, 0]
         counts2 = jnp.where(active[:, None, None], new, counts)
@@ -692,11 +698,11 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         base = jnp.take_along_axis(
             unit, jnp.clip(qp, 0, unit.shape[1] - 1), axis=1)
         onehot = jax.nn.one_hot(
-            jnp.where(is_m, base, 5), 5, dtype=jnp.int32)
+            jnp.where(is_m, base, 5), 5, dtype=jnp.int16)
         dest = jnp.where(is_m & (col < T), col, T)
         bidx = jnp.broadcast_to(
             jnp.arange(B)[:, None], dest.shape)
-        padded = jnp.zeros((B, T + 1, 5), jnp.int32)
+        padded = jnp.zeros((B, T + 1, 5), jnp.int16)
         padded = padded.at[bidx, dest].add(onehot)
         return votes + padded[:, :T, :]
 
@@ -709,8 +715,9 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         ci = jnp.arange(T)[None, :]
         first = units_dev[:, 0, :].astype(jnp.int32)
         fl = ulen_dev[:, 0]
-        oh = jax.nn.one_hot(first, 5, dtype=jnp.int32)
-        counts = jnp.where((ci < fl[:, None])[:, :, None], oh, 0)
+        oh = jax.nn.one_hot(first, 5, dtype=jnp.int16)
+        counts = jnp.where(
+            (ci < fl[:, None])[:, :, None], oh, jnp.int16(0))
         return counts, fl.astype(jnp.int32)
 
     @jax.jit
@@ -719,6 +726,7 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         into ONE int32 plane: the pull is dominated by tunnel round
         trips (~24 ms each), so one array beats the retired three
         (uint8 flags + int16 coverage + int32 ev)."""
+        counts = counts.astype(jnp.int32)
         B, T, _ = counts.shape
         ci = jnp.arange(T)[None, :]
         best = jnp.argmax(counts, axis=2)
@@ -738,6 +746,7 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         halves the per-batch pull bytes over the ~20-40 MB/s tunnel.
         Callers use it only when every region has <= 255 units, so the
         coverage (<= units placed) can't clip."""
+        counts = counts.astype(jnp.int32)
         B, T, _ = counts.shape
         ci = jnp.arange(T)[None, :]
         best = jnp.argmax(counts, axis=2)
