@@ -60,11 +60,13 @@ def test_wavefront_interpret_smoke(monkeypatch):
     q, qlen, t, tlen, qle, oracle = _make_batch(rng, B, 32, 32, True)
     giden, gtle = WF.global_batch(q, qlen, t, tlen, qle)
     mx, mt, mq, sc = WF.ext_batch(q, qlen, t, tlen)
-    giden, gtle, mx, mt, mq, sc = map(
-        np.asarray, (giden, gtle, mx, mt, mq, sc)
+    ionly, _z = WF.global_batch(q, qlen, t, tlen, qle, iden_only=True)
+    giden, gtle, mx, mt, mq, sc, ionly = map(
+        np.asarray, (giden, gtle, mx, mt, mq, sc, ionly)
     )
     for b, o in enumerate(oracle):
         assert (giden[b], gtle[b]) == (o[0], o[1])
+        assert ionly[b] == o[0]
         assert (mx[b], mt[b], mq[b], sc[b]) == (o[2], o[3], o[4], o[5])
 
 
@@ -80,9 +82,11 @@ def test_wavefront_matches_oracle(seed, sim):
     q, qlen, t, tlen, qle, oracle = _make_batch(rng, 16, 128, 128, sim)
     giden, gtle = WF.global_batch(q, qlen, t, tlen, qle)
     mx, mt, mq, sc = WF.ext_batch(q, qlen, t, tlen)
-    giden, gtle, mx, mt, mq, sc = map(
-        np.asarray, (giden, gtle, mx, mt, mq, sc)
+    ionly, _z = WF.global_batch(q, qlen, t, tlen, qle, iden_only=True)
+    giden, gtle, mx, mt, mq, sc, ionly = map(
+        np.asarray, (giden, gtle, mx, mt, mq, sc, ionly)
     )
     for b, o in enumerate(oracle):
         assert (giden[b], gtle[b]) == (o[0], o[1])
+        assert ionly[b] == o[0]
         assert (mx[b], mt[b], mq[b], sc[b]) == (o[2], o[3], o[4], o[5])

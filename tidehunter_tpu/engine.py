@@ -201,7 +201,7 @@ class BatchAligner:
         for i in range(0, len(idxs), cap):
             yield idxs[i : i + cap]
 
-    def run_global(self, reqs, scores=KSW2_SCORES):
+    def run_global(self, reqs, scores=KSW2_SCORES, need_tleft=True):
         """reqs: [(q, t, qle)] -> [(iden_n, t_left_ext)].
 
         Small requests (<= host_aln_cap a side) resolve host-side in
@@ -210,7 +210,11 @@ class BatchAligner:
         chain, so a ~25 ms device round per walk step bought a ~2 us DP.
         The remainder takes one wavefront kernel call per length bucket,
         all buckets' results concatenated ON DEVICE and pulled in a
-        single host transfer."""
+        single host transfer.
+
+        need_tleft=False (run_giden) dispatches the leaner iden-only
+        kernel variant — the annotation side is ~2/3 of the row cost and
+        the tleft half of it drops out."""
         out: List = [None] * len(reqs)
         if scores == KSW2_SCORES:
             from .ops.ksw2_native import available, global_tleft_batch
@@ -231,7 +235,8 @@ class BatchAligner:
                     if len(small) == len(reqs):
                         return out
                     keep = [i for i in range(len(reqs)) if out[i] is None]
-                    sub = self.run_global([reqs[i] for i in keep], scores)
+                    sub = self.run_global(
+                        [reqs[i] for i in keep], scores, need_tleft)
                     for i, r in zip(keep, sub):
                         out[i] = r
                     return out
@@ -264,7 +269,8 @@ class BatchAligner:
                         for row, i in enumerate(pidx):
                             qle[row] = max(0, reqs[i][2])
                         iden, tleft = self.wf.global_batch(
-                            q, qlen, t, tlen, qle, scores)
+                            q, qlen, t, tlen, qle, scores,
+                            iden_only=not need_tleft)
                         chunks.append(jnp.stack([iden, tleft], axis=1))
                         placed.append((pidx, off))
                         off += B
@@ -299,7 +305,8 @@ class BatchAligner:
 
     def run_giden(self, reqs, scores=KSW2_SCORES):
         """reqs: [(q, t)] -> [iden_n]"""
-        res = self.run_global([(q, t, 0) for q, t in reqs], scores)
+        res = self.run_global(
+            [(q, t, 0) for q, t in reqs], scores, need_tleft=False)
         return [r[0] for r in res]
 
     def run_ext(self, reqs, scores=KSW2_SCORES):

@@ -156,7 +156,7 @@ def _global_kernel(
     acc_ref,
     u_ref, v_ref, x_ref, y_ref, qrr_ref,
     a0e_ref, a0o_ref, a1e_ref, a1o_ref, a2e_ref, a2o_ref,
-    *, T: int, K: int, scores: tuple,
+    *, T: int, K: int, scores: tuple, with_tl: bool = True,
 ):
     rk = pl.program_id(1)
     B = tgt_ref.shape[0]
@@ -193,14 +193,14 @@ def _global_kernel(
                 qbuf_ref, qrr_ref, u_ref, v_ref, x_ref, y_ref,
                 a0e_ref, a0o_ref, a1e_ref, a1o_ref, a2e_ref, a2o_ref,
                 acc_ref, tb, qlen, tlen, ti, jS, has_q, r, kk, B,
-                scores,
+                scores, with_tl,
             )
 
 
 def _global_row(qbuf_ref, qrr_ref, u_ref, v_ref, x_ref, y_ref,
                 a0e_ref, a0o_ref, a1e_ref, a1o_ref, a2e_ref, a2o_ref,
                 acc_ref, tb, qlen, tlen, ti, jS, has_q, r, kk, B,
-                scores):
+                scores, with_tl=True):
     if True:
         qb = _qrow(qbuf_ref, qrr_ref, r, ti, B)
         mask, d, bit08, bit10, _, _ = _dp_row(
@@ -214,25 +214,40 @@ def _global_row(qbuf_ref, qrr_ref, u_ref, v_ref, x_ref, y_ref,
             a0_ref, a1_ref, a2_ref = a0o_ref, a1o_ref, a2o_ref
             a1_other, a2_other = a1e_ref, a2e_ref
 
-        j = r - ti
-        is_jS = j == jS
         eq = (qb == tb).astype(jnp.int32)
+        if with_tl:
+            j = r - ti
+            is_jS = j == jS
+            # out-of-grid predecessor boundaries (tail cigar runs)
+            pm_b0 = jnp.where(jS <= r - 1, (tlen + 1) & TLMASK, 0)
+            pd_b0 = jnp.where(jS <= r, (tlen + 1) & TLMASK, 0)
+            P_M = jnp.where(ti == r, 0,
+                            jnp.where(ti == 0, pm_b0, _roll1(a0_ref[:])))
+            P_D = jnp.where(ti == 0, pd_b0, _roll1(a1_other[:]))
+            P_I = jnp.where(ti == r, 0, a2_other[:])
 
-        # out-of-grid predecessor boundaries (tail cigar runs)
-        pm_b0 = jnp.where(jS <= r - 1, (tlen + 1) & TLMASK, 0)  # i==0, j=r
-        pd_b0 = jnp.where(jS <= r, (tlen + 1) & TLMASK, 0)      # i==0 (E run)
-        P_M = jnp.where(ti == r, 0,
-                        jnp.where(ti == 0, pm_b0, _roll1(a0_ref[:])))
-        P_D = jnp.where(ti == 0, pd_b0, _roll1(a1_other[:]))
-        P_I = jnp.where(ti == r, 0, a2_other[:])
-
-        set_m = (jnp.where(has_q, tlen - ti, tlen - 1 - ti) + 1) & TLMASK
-        set_i = (jnp.where(has_q, tlen - ti - 1, tlen - 1 - ti) + 1) & TLMASK
-        M_step = (((P_M >> TLB) + eq) << TLB) | jnp.where(
-            is_jS, set_m, P_M & TLMASK
-        )
-        D_step = P_D
-        I_step = (P_I & ~TLMASK) | jnp.where(is_jS, set_i, P_I & TLMASK)
+            set_m = (jnp.where(has_q, tlen - ti, tlen - 1 - ti) + 1) & TLMASK
+            set_i = (jnp.where(has_q, tlen - ti - 1, tlen - 1 - ti)
+                     + 1) & TLMASK
+            M_step = (((P_M >> TLB) + eq) << TLB) | jnp.where(
+                is_jS, set_m, P_M & TLMASK
+            )
+            D_step = P_D
+            I_step = (P_I & ~TLMASK) | jnp.where(is_jS, set_i, P_I & TLMASK)
+        else:
+            # iden-only variant (run_giden — aveMatch — never reads
+            # tleft): annotations carry the bare identity count, dropping
+            # the field pack/unpack arithmetic.  The dominant bench
+            # request class is giden at (512,512) — 70% of dispatched
+            # wavefront cells (evals/hw_r05) — and the annotation side is
+            # ~2/3 of the row's op count (wf_dtype_probe.py: bare DP row
+            # 16.2 Gcell/s vs the full kernel's 5.5).
+            P_M = jnp.where((ti == r) | (ti == 0), 0, _roll1(a0_ref[:]))
+            P_D = jnp.where(ti == 0, 0, _roll1(a1_other[:]))
+            P_I = jnp.where(ti == r, 0, a2_other[:])
+            M_step = P_M + eq
+            D_step = P_D
+            I_step = P_I
 
         A0 = jnp.where(d == 0, M_step, jnp.where(d == 1, D_step, I_step))
         A1 = jnp.where(bit08, D_step, A0)
@@ -260,7 +275,7 @@ def _pack2(a: np.ndarray) -> np.ndarray:
     return a[:, 0::2] | (a[:, 1::2] << 4)
 
 
-def _run_global_body(qt_pk, meta, LQ, T, K, scores):
+def _run_global_body(qt_pk, meta, LQ, T, K, scores, with_tl=True):
     # qt_pk: [B, (LQ+T)//2] nibble-packed q then t; meta: [B, 3] int32
     # (qlen, tlen, qle) — ONE base upload + ONE meta upload per dispatch
     # (each separate host->device array costs a tunnel round trip)
@@ -274,7 +289,8 @@ def _run_global_body(qt_pk, meta, LQ, T, K, scores):
     NB = B // BT
     n_rows = LQ + T - 1
     NR = (n_rows + K - 1) // K
-    kern = functools.partial(_global_kernel, T=T, K=K, scores=scores)
+    kern = functools.partial(_global_kernel, T=T, K=K, scores=scores,
+                             with_tl=with_tl)
     qbuf = _make_qbuf(q_u8.astype(jnp.int32), T)
     tgt = tgt_u8.astype(jnp.int32)
     LQplus = qbuf.shape[1]
@@ -299,6 +315,8 @@ def _run_global_body(qt_pk, meta, LQ, T, K, scores):
         interpret=INTERPRET,
     )(maxr, qbuf, tgt, qlen, tlen, qle)
     packed = jnp.max(acc, axis=1)
+    if not with_tl:
+        return packed, jnp.zeros_like(packed)
     iden = packed >> TLB
     tl = (packed & TLMASK) - 1
     qle1 = qle[:, 0]
@@ -460,7 +478,9 @@ def _run_ext_body(qt_pk, meta, LQ, T, K, scores):
 # ------------------------------------------------------------ public API --
 
 
-_run_global = functools.partial(jax.jit, static_argnames=("LQ", "T", "K", "scores"))(_run_global_body)
+_run_global = functools.partial(
+    jax.jit, static_argnames=("LQ", "T", "K", "scores", "with_tl")
+)(_run_global_body)
 _run_ext = functools.partial(jax.jit, static_argnames=("LQ", "T", "K", "scores"))(_run_ext_body)
 
 
@@ -477,7 +497,7 @@ def _mesh():
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_global(mesh, LQ, T, K, scores):
+def _sharded_global(mesh, LQ, T, K, scores, with_tl=True):
     """jit(shard_map(_run_global_body)) over the 'dp' batch axis.
 
     The kernel is per-row independent (the reference's pthread fan-out
@@ -486,7 +506,8 @@ def _sharded_global(mesh, LQ, T, K, scores):
     sharded and are pulled once by the caller."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    body = functools.partial(_run_global_body, LQ=LQ, T=T, K=K, scores=scores)
+    body = functools.partial(_run_global_body, LQ=LQ, T=T, K=K,
+                             scores=scores, with_tl=with_tl)
     smap = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("dp"),) * 2,
@@ -567,7 +588,8 @@ def sub_b(T: int, n: int) -> int:
         m += max(1, m // 4)
 
 
-def global_batch(q, qlen, t, tlen, qle, scores=DEFAULT_SCORES, K=4):
+def global_batch(q, qlen, t, tlen, qle, scores=DEFAULT_SCORES, K=4,
+                 iden_only=False):
     """(iden_n, t_left_ext) for a padded batch of global alignments.
 
     Any B; internally tiled to tile_b(T) rows per pallas grid step. Inputs
@@ -575,6 +597,9 @@ def global_batch(q, qlen, t, tlen, qle, scores=DEFAULT_SCORES, K=4):
     stay on device (caller pulls once per round). A batch that is already
     a tile_b(T) multiple at or below fixed_b(T) runs at its own size
     (sub-shape); anything else pads/splits at fixed_b(T).
+
+    iden_only=True runs the leaner annotation variant (tleft returned as
+    zeros) — for callers that never read tleft (run_giden / aveMatch).
     """
     B, LQ = q.shape
     T = t.shape[1]
@@ -590,15 +615,17 @@ def global_batch(q, qlen, t, tlen, qle, scores=DEFAULT_SCORES, K=4):
              np.asarray(qle_, np.int32)], axis=1)
         args = (jnp.asarray(qt), jnp.asarray(meta))
         if mesh is not None:
-            return _sharded_global(mesh, LQ, T, K, tuple(scores))(*args)
-        return _run_global(*args, LQ, T, K, tuple(scores))
+            return _sharded_global(
+                mesh, LQ, T, K, tuple(scores), not iden_only)(*args)
+        return _run_global(*args, LQ, T, K, tuple(scores), not iden_only)
 
     if B < BF and B % (tile_b(T) * _mesh_n()) == 0:
         return _dispatch_global(q, t, qlen, tlen, qle)
     if B > BF:
         parts = [
             global_batch(q[i:i + BF], qlen[i:i + BF], t[i:i + BF],
-                         tlen[i:i + BF], qle[i:i + BF], scores, K)
+                         tlen[i:i + BF], qle[i:i + BF], scores, K,
+                         iden_only)
             for i in range(0, B, BF)
         ]
         return (jnp.concatenate([p[0] for p in parts]),
