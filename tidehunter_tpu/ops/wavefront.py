@@ -285,7 +285,10 @@ def _run_global_body(qt_pk, meta, LQ, T, K, scores, with_tl=True):
     tlen = meta[:, 1:2]
     qle = meta[:, 2:3]
     B = tgt_u8.shape[0]
-    BT = tile_b(T)
+    # sub-tile batches: a round with 16 rows at (2048, 128) used to pad
+    # to tile_b(128)=512 rows (3% utilization — the dominant waste on
+    # the test.fq workload, evals/hw_r05); BT caps at B instead
+    BT = min(tile_b(T), B)
     NB = B // BT
     n_rows = LQ + T - 1
     NR = (n_rows + K - 1) // K
@@ -406,7 +409,7 @@ def _run_ext_body(qt_pk, meta, LQ, T, K, scores):
     qlen = meta[:, 0:1]
     tlen = meta[:, 1:2]
     B = tgt_u8.shape[0]
-    BT = tile_b(T)
+    BT = min(tile_b(T), B)   # sub-tile batches (see _run_global_body)
     NB = B // BT
     n_rows = LQ + T - 1
     NR = (n_rows + K - 1) // K
@@ -543,6 +546,20 @@ def _make_qbuf(q: jnp.ndarray, LT: int) -> jnp.ndarray:
                    constant_values=4)
 
 
+def _shape_ok(T: int, B: int) -> bool:
+    """B runs at its own size iff each mesh shard is a whole number of
+    grid tiles (BT = min(tile_b, shard)) — i.e. a multiple of the tile
+    granularity, or a sub-tile pow2-of-8 (see sub_b)."""
+    mn = _mesh_n()
+    if B % (8 * mn):
+        return False
+    shard = B // mn
+    bt = tile_b(T)
+    if shard <= bt:
+        return (shard & (shard - 1)) == 0 or shard % 8 == 0
+    return shard % bt == 0
+
+
 def fixed_b(T: int) -> int:
     """ONE batch shape per (bucket, variant): Mosaic compiles cost seconds
     on this platform and do not persist, so every call pads (or splits)
@@ -567,16 +584,26 @@ def _pad_rows(arrs, B, Bp, fills):
 
 
 def sub_b(T: int, n: int) -> int:
-    """Smallest shape-stable batch >= n from a ~1.25x geometric ladder of
-    tile-granularity multiples {m * g : m = 1, 2, 3, 4, 5, 6, 8, 10, ...}
-    capped at fixed_b.  The round-4 ladder had only octave rungs
-    ({BF/8, BF/4, BF/2, BF}), so a 1025-row round padded to 2048 — on the
-    bench workload that one group was 70% of dispatched wavefront cells
-    at 50% row fill (evals/hw_r05, VERDICT r4 weak #4).  Quarter-octave
-    rungs bound row padding at ~25% while keeping the shape set small
-    (only rungs that actually occur compile, ~1.2 s each once)."""
+    """Smallest shape-stable batch >= n.
+
+    Below one grid tile: pow2 multiples of 8*mesh_n (the kernels tile at
+    BT = min(tile_b, B), so a 16-row round at (2048, 128) no longer pads
+    to tile_b(128)=512 rows — 3% utilization, the dominant waste on the
+    test.fq workload).  Above a tile: a ~1.25x geometric ladder of
+    tile-granularity multiples capped at fixed_b — the round-4 ladder had
+    only octave rungs ({BF/8..BF}), so a 1025-row round padded to 2048;
+    on the bench workload that one group was 70% of dispatched wavefront
+    cells at 50% row fill (evals/hw_r05, VERDICT r4 weak #4).  Only rungs
+    that actually occur compile (~1.2 s each once)."""
     BF = fixed_b(T)
-    g = tile_b(T) * _mesh_n()
+    mn = _mesh_n()
+    tg = tile_b(T) * mn
+    if n <= tg:
+        c = 8 * mn
+        while c < n:
+            c *= 2
+        return min(c, tg)
+    g = tg
     m = 1
     while True:
         cand = m * g
@@ -619,7 +646,7 @@ def global_batch(q, qlen, t, tlen, qle, scores=DEFAULT_SCORES, K=4,
                 mesh, LQ, T, K, tuple(scores), not iden_only)(*args)
         return _run_global(*args, LQ, T, K, tuple(scores), not iden_only)
 
-    if B < BF and B % (tile_b(T) * _mesh_n()) == 0:
+    if B < BF and _shape_ok(T, B):
         return _dispatch_global(q, t, qlen, tlen, qle)
     if B > BF:
         parts = [
@@ -659,7 +686,7 @@ def ext_batch(q, qlen, t, tlen, scores=DEFAULT_SCORES, K=4):
             return _sharded_ext(mesh, LQ, T, K, tuple(scores))(*args)
         return _run_ext(*args, LQ, T, K, tuple(scores))
 
-    if B < BF and B % (tile_b(T) * _mesh_n()) == 0:
+    if B < BF and _shape_ok(T, B):
         return _dispatch_ext(q, t, qlen, tlen)
     if B > BF:
         parts = [
