@@ -265,7 +265,9 @@ def main() -> int:
     testfq = "/root/reference/test.fq"
     if os.environ.get("TH_SKIP_TESTFQ", "") != "1" and os.path.exists(testfq):
         mtp_fq = Params()
-        mtp_fq.chunk_read_n = 50
+        # one 100-read chunk: at 50 reads/chunk the per-chunk device
+        # round trips (~25-50 ms each, ~12 rounds) were ~35% of wall
+        mtp_fq.chunk_read_n = 100
         runner.run(testfq, mtp_fq, out=io.StringIO(), process_chunk=engine)
         fq_dts = []
         for _ in range(reps):
