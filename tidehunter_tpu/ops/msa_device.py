@@ -849,13 +849,26 @@ class DeviceMSA:
                 return b
         return None
 
-    def _dp_run(self, T: int, W: int | None = None):
-        key = (T, W)
+    def _sub_b(self, n: int, T: int, W=None) -> int:
+        """Per-shard region-batch rows for n regions: pow2-of-8 rungs up
+        to the _dirs_b cap.  The fixed cap padded a 5-region bucket batch
+        to 256 rows through EVERY unit round — on test.fq (38 regions
+        spread over ~8 bucket/rung batches) the MSA stage was half the
+        chunk wall at ~2% row utilization (evals/hw_r05/testfq_stages)."""
+        cap = _dirs_b(T, W)
+        per = -(-max(1, n) // self.mesh_n)
+        b = 8
+        while b < per:
+            b *= 2
+        return min(b, cap)
+
+    def _dp_run(self, T: int, W: int | None = None, Bs: int | None = None):
+        key = (T, W, Bs)
         if key in self._dp_runs:
             return self._dp_runs[key]
         jax, jnp, pl, pltpu = _modules()
         K = 4
-        B = _dirs_b(T, W)
+        B = Bs if Bs is not None else _dirs_b(T, W)
         BT = min(B, _tile_bt(T, W))  # B is a BT multiple by construction
         n_rows = 2 * T - 1
         NR = (n_rows + K - 1) // K
@@ -902,12 +915,13 @@ class DeviceMSA:
         self._dp_runs[key] = (run, B, LQplus)
         return self._dp_runs[key]
 
-    def _bt_run(self, T: int, W: int | None = None):
-        key = (T, W)
+    def _bt_run(self, T: int, W: int | None = None,
+                Bs: int | None = None):
+        key = (T, W, Bs)
         if key in self._bt_runs:
             return self._bt_runs[key]
         jax, jnp, pl, pltpu = _modules()
-        B = _dirs_b(T, W)
+        B = Bs if Bs is not None else _dirs_b(T, W)
         BT = min(B, _tile_bt(T, W))
         NL = ((2 * T + 1 + 127) // 128) * 128
         NT = 2 * T          # levels L = 2T .. 1 (L=1: boundary-only steps)
@@ -948,7 +962,8 @@ class DeviceMSA:
         self._bt_runs[key] = (run, B, NL)
         return self._bt_runs[key]
 
-    def _round(self, T: int, W: int | None = None):
+    def _round(self, T: int, W: int | None = None,
+               Bs: int | None = None):
         """Fused unit round (scores + DP + backtrack + update) as ONE jit:
         nested jits inline, so each round is a single dispatch instead of
         four. k arrives as a traced scalar — no per-k recompile.
@@ -960,14 +975,17 @@ class DeviceMSA:
         touch before overflow within one round), which is exactly the
         order the sequential host oracle (banded_profile_consensus)
         encounters them, so the driver's retry walk matches the host's
-        bit-for-bit."""
-        key = (T, W)
+        bit-for-bit.
+
+        Bs: per-shard region rows (pow2 sub-shape from _sub_b); None =
+        the _dirs_b cap."""
+        key = (T, W, Bs)
         if key in self._round_fns:
             return self._round_fns[key]
         jax, jnp, _, _ = _modules()
         banded = W is not None
-        run_dp, B, LQplus = self._dp_run(T, W)
-        run_bt, B2, NL = self._bt_run(T, W)
+        run_dp, B, LQplus = self._dp_run(T, W, Bs)
+        run_bt, B2, NL = self._bt_run(T, W, Bs)
         assert B == B2
 
         def round_fn(counts, n_placed, ncol, overflow, ev,
@@ -1071,14 +1089,17 @@ class DeviceMSA:
             launched = []
             with METRICS.timed("msa_enqueue"):
                 for (T, W), entries in by_bucket.items():
-                    round_fn, polish_round_fn, B, LQplus, NL = self._round(
-                        T, W)
-                    for lo in range(0, len(entries), B):
+                    lo = 0
+                    while lo < len(entries):
+                        Bs = self._sub_b(len(entries) - lo, T, W)
+                        round_fn, polish_round_fn, B, LQplus, NL = \
+                            self._round(T, W, Bs)
                         part = entries[lo:lo + B]
                         devs = self._enqueue_batch(
                             [regions[i] for i, _ in part], T, B,
                             round_fn, polish_round_fn, jnp, W)
                         launched.append((part, T, W, devs))
+                        lo += B
             with METRICS.timed("msa_pull"):
                 # start every batch's device->host copy before blocking on
                 # the first: the pull was round-trip-bound (~24 ms per
