@@ -457,16 +457,35 @@ class Engine:
         for kind in by_kind:
             METRICS.add(f"rounds_{kind}")
         out: List = [None] * len(reqs)
+        # Per-kind resolvers run CONCURRENTLY (each fills disjoint out[]
+        # slots): a drive round mixing e.g. msa + gx + hws generators paid
+        # one serialized device round trip PER KIND (~25-50 ms each over
+        # the tunnel; test.fq's wall was round-trip-bound, RESULTS r5).
+        # Device waits release the GIL, so a small thread pool overlaps
+        # every kind's dispatch+pull the same way the gx pool already
+        # overlapped its two halves.
+        tasks: List = []
+
+        def _task(fn):
+            tasks.append(fn)
+
         if "global" in by_kind:
             idxs = by_kind["global"]
-            res = self.aligner.run_global([reqs[i][1:] for i in idxs])
-            for i, r in zip(idxs, res):
-                out[i] = r
+
+            @_task
+            def _do_global(idxs=idxs):
+                res = self.aligner.run_global([reqs[i][1:] for i in idxs])
+                for i, r in zip(idxs, res):
+                    out[i] = r
         if "giden" in by_kind:
             idxs = by_kind["giden"]
-            res = self.aligner.run_giden([(reqs[i][1], reqs[i][2]) for i in idxs])
-            for i, r in zip(idxs, res):
-                out[i] = r
+
+            @_task
+            def _do_giden(idxs=idxs):
+                res = self.aligner.run_giden(
+                    [(reqs[i][1], reqs[i][2]) for i in idxs])
+                for i, r in zip(idxs, res):
+                    out[i] = r
         if "gidens" in by_kind:
             # batched variant: one request carries a list of (q, t) pairs;
             # flatten across requests into one device round
@@ -477,14 +496,21 @@ class Engine:
                 pairs = reqs[i][1]
                 spans.append((len(flat), len(pairs)))
                 flat.extend(pairs)
-            res = self.aligner.run_giden(flat)
-            for i, (lo, n) in zip(idxs, spans):
-                out[i] = res[lo : lo + n]
+
+            @_task
+            def _do_gidens(idxs=idxs, flat=flat, spans=spans):
+                res = self.aligner.run_giden(flat)
+                for i, (lo, n) in zip(idxs, spans):
+                    out[i] = res[lo : lo + n]
         if "ext" in by_kind:
             idxs = by_kind["ext"]
-            res = self.aligner.run_ext([(reqs[i][1], reqs[i][2]) for i in idxs])
-            for i, r in zip(idxs, res):
-                out[i] = r
+
+            @_task
+            def _do_ext(idxs=idxs):
+                res = self.aligner.run_ext(
+                    [(reqs[i][1], reqs[i][2]) for i in idxs])
+                for i, r in zip(idxs, res):
+                    out[i] = r
         if "gx" in by_kind:
             # fused aveMatch identities + boundary extensions: both
             # batches dispatch in the same round (the generator would
@@ -497,23 +523,26 @@ class Engine:
                 gflat.extend(gpairs)
                 espans.append((len(eflat), len(epairs)))
                 eflat.extend(epairs)
-            if self.aligner.use_wavefront and gflat and eflat:
-                # overlap the two device rounds: dispatch + pull of the
-                # identity batch would otherwise serialize ahead of the
-                # extension batch's dispatch (device waits release the
-                # GIL, so two host threads pipeline the pulls)
-                if self._gx_pool is None:
-                    from concurrent.futures import ThreadPoolExecutor
 
-                    self._gx_pool = ThreadPoolExecutor(max_workers=2)
-                fg = self._gx_pool.submit(self.aligner.run_giden, gflat)
-                fe = self._gx_pool.submit(self.aligner.run_ext, eflat)
-                gres, eres = fg.result(), fe.result()
-            else:
-                gres = self.aligner.run_giden(gflat)
-                eres = self.aligner.run_ext(eflat)
-            for i, (glo, gn), (elo, en) in zip(idxs, gspans, espans):
-                out[i] = (gres[glo:glo + gn], eres[elo:elo + en])
+            # the two halves land as separate tasks so they overlap both
+            # each other and every other kind in the round
+            gres: List = []
+            eres: List = []
+
+            @_task
+            def _do_gx_g(gres=gres, gflat=gflat):
+                gres.extend(self.aligner.run_giden(gflat))
+
+            @_task
+            def _do_gx_e(eres=eres, eflat=eflat):
+                eres.extend(self.aligner.run_ext(eflat))
+
+            @_task
+            def _do_gx_join(idxs=idxs, gspans=gspans, espans=espans,
+                            gres=gres, eres=eres):
+                # runs after the pool joins (ordered task list, see below)
+                for i, (glo, gn), (elo, en) in zip(idxs, gspans, espans):
+                    out[i] = (gres[glo:glo + gn], eres[elo:elo + en])
         if "exts" in by_kind:
             idxs = by_kind["exts"]
             flat = []
@@ -522,9 +551,12 @@ class Engine:
                 pairs = reqs[i][1]
                 spans.append((len(flat), len(pairs)))
                 flat.extend(pairs)
-            res = self.aligner.run_ext(flat)
-            for i, (lo, n) in zip(idxs, spans):
-                out[i] = res[lo : lo + n]
+
+            @_task
+            def _do_exts(idxs=idxs, flat=flat, spans=spans):
+                res = self.aligner.run_ext(flat)
+                for i, (lo, n) in zip(idxs, spans):
+                    out[i] = res[lo : lo + n]
         if "hws" in by_kind:
             # batched Myers HW adapter searches (ops/myers_jax.py): all
             # requests' searches flatten into two device scans
@@ -539,14 +571,39 @@ class Engine:
                     flat_q.append(q)
                     flat_t.append(t)
                     flat_k.append(k)
-            res = hw_batch(flat_q, flat_t, flat_k) if flat_q else []
-            for i, (lo, n) in zip(idxs, spans):
-                out[i] = res[lo:lo + n]
+
+            @_task
+            def _do_hws(idxs=idxs, spans=spans):
+                res = hw_batch(flat_q, flat_t, flat_k) if flat_q else []
+                for i, (lo, n) in zip(idxs, spans):
+                    out[i] = res[lo:lo + n]
         if "msa" in by_kind:
             idxs = by_kind["msa"]
-            res = self._resolve_msa([reqs[i][1] for i in idxs])
-            for i, r in zip(idxs, res):
-                out[i] = r
+
+            @_task
+            def _do_msa(idxs=idxs):
+                res = self._resolve_msa([reqs[i][1] for i in idxs])
+                for i, r in zip(idxs, res):
+                    out[i] = r
+
+        # gx's join task must run after its two halves; it is ordered
+        # last among gx tasks, and the serial path runs tasks in order
+        # while the pooled path joins ALL compute tasks before the joins
+        joins = [t for t in tasks if t.__name__ == "_do_gx_join"]
+        work = [t for t in tasks if t.__name__ != "_do_gx_join"]
+        if len(work) > 1 and self.aligner.use_wavefront:
+            if self._gx_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._gx_pool = ThreadPoolExecutor(max_workers=6)
+            futs = [self._gx_pool.submit(t) for t in work]
+            for f in futs:
+                f.result()
+        else:
+            for t in work:
+                t()
+        for t in joins:
+            t()
         return out
 
     def _resolve_msa(self, regions: List[List[np.ndarray]]):
