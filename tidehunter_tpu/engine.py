@@ -194,6 +194,11 @@ class BatchAligner:
         METRICS.add("wf_cells", float(
             np.dot(qlen.astype(np.float64), tlen.astype(np.float64))))
         METRICS.add("wf_cells_disp", float(B) * LQ * LT)
+        if os.environ.get("TH_WF_SHAPE_LOG", "") == "1":
+            # per-shape dispatch census for padding-waste analysis
+            METRICS.add(f"wfsh_{LQ}x{LT}_disp", float(B) * LQ * LT)
+            METRICS.add(f"wfsh_{LQ}x{LT}_rows", float(B))
+            METRICS.add(f"wfsh_{LQ}x{LT}_items", float(len(idxs)))
         return q, qlen, t, tlen
 
     def _sub_batches(self, idxs, LQ, LT):
@@ -591,7 +596,8 @@ class Engine:
         # while the pooled path joins ALL compute tasks before the joins
         joins = [t for t in tasks if t.__name__ == "_do_gx_join"]
         work = [t for t in tasks if t.__name__ != "_do_gx_join"]
-        if len(work) > 1 and self.aligner.use_wavefront:
+        if (len(work) > 1 and self.aligner.use_wavefront
+                and os.environ.get("TH_SERIAL_KINDS", "") != "1"):
             if self._gx_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
 

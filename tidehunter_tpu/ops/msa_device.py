@@ -662,6 +662,11 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         onehot = jax.nn.one_hot(base, 5, dtype=jnp.int16)        # [B, T, 5]
 
         colz = jnp.clip(col - 1, 0, T - 1)
+        # (A one-hot-matmul relayout — einsum('btc,bcf') over a selection
+        # plane — measured EQUAL to this gather in the fused round
+        # (90.7 vs 91.3 ms / 8 chained rounds, msa_micro_d.log) while
+        # materializing a [B, T, T] f32 operand that scales to GBs at the
+        # T=4096 bucket; the gather stays.)
         old = jnp.take_along_axis(counts, colz[:, :, None], axis=1)
         old = jnp.where(consumes_c[:, :, None], old, jnp.int16(0))
         new = old + jnp.where(valid[:, :, None], onehot, jnp.int16(0))
