@@ -662,13 +662,38 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
         onehot = jax.nn.one_hot(base, 5, dtype=jnp.int16)        # [B, T, 5]
 
         colz = jnp.clip(col - 1, 0, T - 1)
-        # (A one-hot-matmul relayout — einsum('btc,bcf') over a selection
-        # plane — measured EQUAL to this gather in the fused round
-        # (90.7 vs 91.3 ms / 8 chained rounds, msa_micro_d.log) while
-        # materializing a [B, T, T] f32 operand that scales to GBs at the
-        # T=4096 bucket; the gather stays.)
-        old = jnp.take_along_axis(counts, colz[:, :, None], axis=1)
-        old = jnp.where(consumes_c[:, :, None], old, jnp.int16(0))
+        # The counts relayout old[p] = counts[col(p)-1].  Two dead-end
+        # reformulations are recorded in evals/hw_r05: a one-hot-matmul
+        # (einsum over a [B,T,T] selection plane — ties the gather,
+        # msa_micro_d.log, and its operand scales to GBs at T=4096) and a
+        # vmapped lax.gather with contiguous (1,5) slices + sorted hints
+        # (also ties).  What DOES beat the gather: the shift amount
+        # p - (col(p)-1) equals the I-step prefix count — nondecreasing
+        # and bounded by the round's insertions (~err/3 * qlen, tens) —
+        # so a shift-accumulate loop over k = 0..K is K cheap elementwise
+        # passes instead of an XLA gather.  Guarded: pathological K falls
+        # back to the gather.
+        kmap = jnp.where(consumes_c, posT - colz, 0)
+        kmax = jnp.max(kmap)
+
+        def _relayout_shift(_):
+            def body(state):
+                k, acc, shifted = state
+                sel = consumes_c & (kmap == k)
+                acc = jnp.where(sel[:, :, None], shifted, acc)
+                return k + 1, acc, jnp.roll(shifted, 1, axis=1)
+
+            _, acc, _ = jax.lax.while_loop(
+                lambda s: s[0] <= kmax, body,
+                (jnp.int32(0), jnp.zeros_like(counts), counts))
+            return acc
+
+        def _relayout_gather(_):
+            g = jnp.take_along_axis(counts, colz[:, :, None], axis=1)
+            return jnp.where(consumes_c[:, :, None], g, jnp.int16(0))
+
+        old = jax.lax.cond(kmax <= 64, _relayout_shift, _relayout_gather,
+                           operand=None)
         new = old + jnp.where(valid[:, :, None], onehot, jnp.int16(0))
 
         nsteps = nst[:, 0]
