@@ -692,8 +692,11 @@ def _build_jits(match: int, mismatch: int, gap_open: int, gap_ext: int,
             g = jnp.take_along_axis(counts, colz[:, :, None], axis=1)
             return jnp.where(consumes_c[:, :, None], g, jnp.int16(0))
 
-        old = jax.lax.cond(kmax <= 64, _relayout_shift, _relayout_gather,
-                           operand=None)
+        if os.environ.get("TH_MSA_SHIFT", "") == "0":   # A/B knob
+            old = _relayout_gather(None)
+        else:
+            old = jax.lax.cond(kmax <= 64, _relayout_shift,
+                               _relayout_gather, operand=None)
         new = old + jnp.where(valid[:, :, None], onehot, jnp.int16(0))
 
         nsteps = nst[:, 0]
