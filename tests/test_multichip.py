@@ -43,13 +43,19 @@ def _records_key(res):
     ]
 
 
-def test_engine_mesh_matches_oracle_synthetic(interpret_mesh):
+@pytest.mark.parametrize("waves", ["1", "2"])
+def test_engine_mesh_matches_oracle_synthetic(interpret_mesh, monkeypatch,
+                                              waves):
+    # waves=2 exercises the opt-in wave-split consensus drive (engine
+    # TH_DRIVE_WAVES — concurrent _drive threads sharing the device)
+    # through the full production mesh path; default stays 1
     import __graft_entry__ as G
     from tidehunter_tpu.engine import Engine
     from tidehunter_tpu.io.fastx import FastxRecord
     from tidehunter_tpu.params import Params
     from tidehunter_tpu.pipeline.core import tidehunter_core
 
+    monkeypatch.setenv("TH_DRIVE_WAVES", waves)
     rng = np.random.default_rng(23)
     reads = [
         FastxRecord(

@@ -1022,7 +1022,39 @@ class Engine:
                     )
                 )
         with METRICS.timed("consensus"):
-            _drive(consensus_gens, self._resolve_batch)
+            # Wave-split drive (opt-in): round-robin the generators into
+            # TH_DRIVE_WAVES independent lockstep drives on threads, so
+            # wave A's wavefront phase (gidens/gx) overlaps wave B's MSA
+            # phase on the device — the phases serialize within one drive
+            # by data dependency, but not across reads.  Results are
+            # per-generator buffers, so splitting cannot reorder output.
+            # Default 1: the tunnel epoch noise swamped any gain in the
+            # 1/2/4 A/B (evals/hw_r05/waves_ab.log) and extra host
+            # threads contend with prepare on a 1-core host.
+            waves = int(os.environ.get("TH_DRIVE_WAVES", "1") or 1)
+            if (waves > 1 and self.aligner.use_wavefront
+                    and len(consensus_gens) > 4 * waves):
+                import threading
+
+                parts = [consensus_gens[i::waves] for i in range(waves)]
+                errs: List = []
+
+                def _run(p):
+                    try:
+                        _drive(p, self._resolve_batch)
+                    except BaseException as e:  # propagate to caller
+                        errs.append(e)
+
+                ts = [threading.Thread(target=_run, args=(p,))
+                      for p in parts if p]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+                if errs:
+                    raise errs[0]
+            else:
+                _drive(consensus_gens, self._resolve_batch)
         for ri in range(len(chunk)):
             for buf in buffers[ri]:
                 for kind_, a_, b_ in buf.calls:

@@ -875,6 +875,12 @@ class DeviceMSA:
         self._dp_runs: Dict[int, object] = {}
         self._bt_runs: Dict[int, object] = {}
         self._round_fns: Dict[int, object] = {}
+        # concurrent drive waves (engine TH_DRIVE_WAVES) may request the
+        # same (T, W, Bs) variant from two threads; build under a lock so
+        # each Mosaic kernel compiles once
+        import threading
+
+        self._build_lock = threading.Lock()
 
     def _bucket(self, n: int):
         for b in self.buckets:
@@ -1014,6 +1020,12 @@ class DeviceMSA:
         the _dirs_b cap."""
         key = (T, W, Bs)
         if key in self._round_fns:
+            return self._round_fns[key]
+        with self._build_lock:
+            return self._round_locked(key, T, W, Bs)
+
+    def _round_locked(self, key, T, W, Bs):
+        if key in self._round_fns:   # built while waiting on the lock
             return self._round_fns[key]
         jax, jnp, _, _ = _modules()
         banded = W is not None
